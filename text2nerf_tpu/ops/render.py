@@ -1,0 +1,223 @@
+"""Fused volume rendering for TensoRF fields (the hot path).
+
+TPU-native re-design of TensorBase.forward + OctreeRender_trilinear_fast
+(/root/reference/models/tensorBase.py:436-507, /root/reference/renderer.py:28-42):
+
+- Fixed shapes everywhere: every ray carries exactly ``n_samples`` samples;
+  out-of-AABB samples are masked (sigma = 0) instead of gathered away.
+- The reference evaluates appearance only where ``weight > 1e-4`` via boolean
+  fancy-indexing (tensorBase.py:477-492) — dynamic shapes that cannot jit.
+  Here we take the top-K samples per ray by weight (``lax.top_k``) and run
+  the appearance gathers + shading MLP on the compacted [B, K] set.  When K
+  covers every sample above the threshold (the usual case: weights are
+  concentrated at the surface crossing), this is numerically identical,
+  because sub-threshold samples contribute rgb = 0 exactly as the reference
+  leaves them zero-filled.
+- Compositing (cumprod transmittance, tensorBase.py:19-26) and the white
+  background / depth-fill rules (tensorBase.py:497-505) are fused into the
+  same jit region.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models import tensorf as tf
+from ..models import mlp as mlp_mod
+from .rays import aabb_slab_entry
+
+
+class RenderOutput(NamedTuple):
+    rgb: jnp.ndarray       # (B, 3) composited color in [0, 1]
+    depth: jnp.ndarray     # (B,) expected termination depth (with bg fill)
+    z_vals: jnp.ndarray    # (B, S) sample depths along each ray
+    weights: jnp.ndarray   # (B, S) compositing weights
+    acc: jnp.ndarray       # (B,) accumulated opacity
+
+
+def raw2alpha(sigma, dists):
+    """alpha/weights/background weight from density (tensorBase.py:19-26)."""
+    alpha = 1.0 - jnp.exp(-sigma * dists)
+    ones = jnp.ones_like(alpha[:, :1])
+    t = jnp.cumprod(jnp.concatenate([ones, 1.0 - alpha + 1e-10], -1), -1)
+    weights = alpha * t[:, :-1]
+    return alpha, weights, t[:, -1:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "n_samples", "app_k", "is_train", "white_bg", "ndc", "eval_z_min",
+    ),
+)
+def render_rays(
+    cfg: tf.TensoRFConfig,
+    params,
+    aabb,
+    rays,
+    rng: Optional[jax.Array] = None,
+    *,
+    n_samples: int,
+    app_k: int = 64,
+    is_train: bool = False,
+    white_bg: bool = True,
+    ndc: bool = False,
+    alpha_mask=None,
+    eval_z_min: float = 2.0,
+) -> RenderOutput:
+    """Render a chunk of rays.
+
+    Args:
+      cfg: static model config.
+      params: TensoRF parameter pytree.
+      aabb: (2, 3) scene bounds.
+      rays: (B, 6) [origin | direction] — directions pre-normalized by the
+        data layer (scene_gen.py:45).
+      rng: PRNG key; required when is_train (sample jitter + random white bg).
+      n_samples: samples per ray (fixed; text2nerf_main.py:439).
+      app_k: appearance compaction width (top-K samples by weight).
+      alpha_mask: optional {'volume','aabb'} occupancy mask — samples where
+        the mask is 0 are treated as empty (tensorBase.py:451-456).
+      eval_z_min: eval-time world-z culling threshold — the "Eckert" filter
+        dropping samples with z <= 2 at eval (tensorBase.py:458-462).
+    """
+    aabb = jnp.asarray(aabb)
+    rays_o, rays_d = rays[:, :3], rays[:, 3:6]
+    b = rays.shape[0]
+
+    if ndc:
+        # sample_ray_ndc (tensorBase.py:293-302)
+        z_vals = jnp.linspace(cfg.near, cfg.far, n_samples)[None, :]
+        z_vals = jnp.broadcast_to(z_vals, (b, n_samples))
+        if is_train:
+            rng, k_jit = jax.random.split(rng)
+            z_vals = z_vals + jax.random.uniform(k_jit, (b, n_samples)) * (
+                (cfg.far - cfg.near) / n_samples
+            )
+        rays_norm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+        viewdirs = rays_d / rays_norm
+        pts = rays_o[:, None] + rays_d[:, None] * z_vals[..., None]
+        dists = jnp.concatenate(
+            [z_vals[:, 1:] - z_vals[:, :-1], jnp.zeros_like(z_vals[:, :1])], -1
+        ) * rays_norm
+    else:
+        # sample_ray: slab entry + fixed step with per-ray jitter
+        # (tensorBase.py:304-323)
+        step = tf.step_size(aabb, tf.grid_resolution(cfg, params), cfg.step_ratio)
+        t_min = aabb_slab_entry(rays_o, rays_d, aabb, cfg.near, cfg.far)
+        steps = jnp.arange(n_samples, dtype=rays.dtype)[None, :]
+        if is_train:
+            rng, k_jit = jax.random.split(rng)
+            steps = steps + jax.random.uniform(k_jit, (b, 1))
+        z_vals = t_min[:, None] + step * steps
+        pts = rays_o[:, None] + rays_d[:, None] * z_vals[..., None]
+        dists = jnp.concatenate(
+            [z_vals[:, 1:] - z_vals[:, :-1], jnp.zeros_like(z_vals[:, :1])], -1
+        )
+        viewdirs = rays_d
+
+    valid = jnp.all((pts >= aabb[0]) & (pts <= aabb[1]), axis=-1)
+    if alpha_mask is not None:
+        am = tf.sample_alpha_mask(alpha_mask, pts.reshape(-1, 3)).reshape(b, -1)
+        valid = valid & (am > 0)
+    if not is_train:
+        valid = valid & (pts[..., 2] > eval_z_min)
+
+    xn = jnp.clip(tf.normalize_coord(aabb, pts), -1.0, 1.0)
+    feat = tf.compute_density_feature(cfg, params, xn.reshape(-1, 3)).reshape(
+        b, n_samples
+    )
+    sigma = jnp.where(valid, tf.feature2density(cfg, feat), 0.0)
+
+    _, weights, _ = raw2alpha(sigma, dists * cfg.distance_scale)
+    acc = jnp.sum(weights, axis=-1)
+
+    # --- appearance on the top-K weighted samples -------------------------
+    k = min(app_k, n_samples)
+    w_top, idx = jax.lax.top_k(weights, k)
+    xn_k = jnp.take_along_axis(xn, idx[..., None], axis=1)
+    app_ok = (w_top > cfg.raymarch_weight_thres)[..., None]
+
+    app_feat = tf.compute_app_feature(cfg, params, xn_k.reshape(-1, 3))
+    dirs_k = jnp.broadcast_to(viewdirs[:, None], (b, k, 3)).reshape(-1, 3)
+    rgb_k = mlp_mod.shade(
+        cfg.shading_mode,
+        params.get("mlp"),
+        xn_k.reshape(-1, 3),
+        dirs_k,
+        app_feat,
+        view_pe=cfg.view_pe,
+        fea_pe=cfg.fea_pe,
+        pos_pe=cfg.pos_pe,
+    ).reshape(b, k, 3)
+    rgb_k = jnp.where(app_ok, rgb_k, 0.0)
+
+    rgb = jnp.sum(w_top[..., None] * rgb_k, axis=1)
+
+    if white_bg:
+        rgb = rgb + (1.0 - acc[..., None])
+    elif is_train:
+        rng, k_bg = jax.random.split(rng)
+        use_bg = jax.random.uniform(k_bg, ()) < 0.5
+        rgb = jnp.where(use_bg, rgb + (1.0 - acc[..., None]), rgb)
+    rgb = jnp.clip(rgb, 0.0, 1.0)
+
+    depth = jnp.sum(weights * z_vals, axis=-1) + (1.0 - acc) * rays[:, -1]
+    return RenderOutput(rgb=rgb, depth=depth, z_vals=z_vals, weights=weights, acc=acc)
+
+
+def render_chunked(
+    cfg,
+    params,
+    aabb,
+    rays,
+    *,
+    n_samples: int,
+    chunk: int = 16384,
+    app_k: int = 64,
+    white_bg: bool = True,
+    ndc: bool = False,
+    alpha_mask=None,
+):
+    """Host-side chunked renderer over an arbitrary ray count.
+
+    Pads the final chunk so only one jit specialization exists per chunk
+    size (the reference loops un-jitted chunks, renderer.py:28-42).
+    """
+    n = rays.shape[0]
+    outs = []
+    for s in range(0, n, chunk):
+        part = rays[s : s + chunk]
+        pad = chunk - part.shape[0]
+        if pad:
+            part = jnp.concatenate([part, jnp.zeros((pad, 6), part.dtype)], 0)
+        out = render_rays(
+            cfg,
+            params,
+            aabb,
+            part,
+            n_samples=n_samples,
+            app_k=app_k,
+            is_train=False,
+            white_bg=white_bg,
+            ndc=ndc,
+            alpha_mask=alpha_mask,
+        )
+        if pad:
+            out = jax.tree.map(lambda x: x[: chunk - pad], out)
+        outs.append(out)
+    return jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *outs)
+
+
+def filter_rays_bbox(aabb, rays):
+    """Boolean mask of rays that intersect the AABB — the bbox_only branch
+    of filtering_rays (tensorBase.py:372-404).  Host-side helper (mask is
+    consumed by the data layer to build ray pools)."""
+    from .rays import aabb_slab_interval
+
+    t_min, t_max = aabb_slab_interval(rays[..., :3], rays[..., 3:6], jnp.asarray(aabb))
+    return t_max > t_min
