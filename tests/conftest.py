@@ -23,6 +23,10 @@ import pytest
 # bf16 matmul default here.
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache: the suite is dominated by jit compiles.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_text2nerf")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 
 @pytest.fixture
 def rng():

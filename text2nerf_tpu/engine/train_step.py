@@ -1,0 +1,176 @@
+"""Jitted training step for TensoRF scene fitting.
+
+Reproduces the optimizer + loss semantics of the reference training loop
+(/root/reference/text2nerf_main.py:453-601) in one fused jit region:
+
+- Adam(betas=0.9, 0.99) with two parameter groups: spatial grids at
+  ``lr_init`` (0.02) and basis/MLP at ``lr_basis`` (1e-3)
+  (tensoRF.py:164-170, text2nerf_main.py:453-454).
+- Per-step exponential LR decay: lr(t) = lr0 * factor**t where
+  factor = target_ratio ** (1/decay_iters) (text2nerf_main.py:483-488,
+  600-601).  Stage boundaries reset the optimizer state and the schedule
+  (text2nerf_main.py:523-528) — done by rebuilding the TrainState.
+- Loss = mse(rgb) + 0.005 * mse(depth) + 1e3 * transmittance-mask loss
+  (margin 0.1 before GT depth) + decayed TV regularizers
+  (text2nerf_main.py:563-586).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import tensorf as tf
+from ..ops import losses as L
+from ..ops import render as render_ops
+
+
+class TrainState(NamedTuple):
+    params: dict
+    opt_state: optax.OptState
+    step: jnp.ndarray  # scalar int32
+
+
+class LossWeights(NamedTuple):
+    depth: float = 0.005        # text2nerf_main.py:565
+    transmittance: float = 1e3  # text2nerf_main.py:570
+    trans_margin: float = 0.1   # text2nerf_main.py:569
+    tv_density: float = 0.1     # configs/text2nerf_scenes.txt:33
+    tv_app: float = 0.01        # configs/text2nerf_scenes.txt:34
+    l1: float = 0.0
+    ortho: float = 0.0
+
+
+def lr_factor(decay_target_ratio: float, decay_iters: int) -> float:
+    """factor such that lr decays to lr*ratio over decay_iters steps
+    (text2nerf_main.py:483-488)."""
+    return float(decay_target_ratio) ** (1.0 / max(int(decay_iters), 1))
+
+
+def make_optimizer(params, lr_init=0.02, lr_basis=1e-3, factor=1.0):
+    """Two-group Adam with per-step exponential decay."""
+
+    def sched(base):
+        return optax.exponential_decay(
+            init_value=base, transition_steps=1, decay_rate=factor
+        )
+
+    tx = optax.multi_transform(
+        {
+            "spatial": optax.adam(sched(lr_init), b1=0.9, b2=0.99),
+            "network": optax.adam(sched(lr_basis), b1=0.9, b2=0.99),
+        },
+        tf.param_group_labels(params),
+    )
+    return tx
+
+
+def make_train_state(params, lr_init=0.02, lr_basis=1e-3, factor=1.0):
+    tx = make_optimizer(params, lr_init, lr_basis, factor)
+    return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32)), tx
+
+
+def make_train_step(
+    cfg: tf.TensoRFConfig,
+    tx,
+    *,
+    n_samples: int,
+    app_k: int = 64,
+    white_bg: bool = True,
+    ndc: bool = False,
+    weights: LossWeights = LossWeights(),
+    tv_factor: float = 1.0,
+):
+    """Build the jitted train step.
+
+    ``tv_factor`` is the per-step decay applied to the TV weights (the
+    reference multiplies them by lr_factor each iteration,
+    text2nerf_main.py:577-584), applied here as tv_w * tv_factor**step so
+    the step stays stateless.
+    """
+
+    def loss_fn(params, aabb, batch, rng, step):
+        out = render_ops.render_rays(
+            cfg,
+            params,
+            aabb,
+            batch["rays"],
+            rng,
+            n_samples=n_samples,
+            app_k=app_k,
+            is_train=True,
+            white_bg=white_bg,
+            ndc=ndc,
+        )
+        depth_map = jnp.nan_to_num(out.depth)  # text2nerf_main.py:559-560
+
+        loss_rgb = L.mse(out.rgb, batch["rgb"])
+        loss_depth = L.mse(depth_map, batch["depth"])
+        mask = L.depth_front_mask(out.z_vals, batch["depth"], weights.trans_margin)
+        loss_trans = L.transmittance_mask_loss(out.weights, mask)
+
+        total = (
+            loss_rgb
+            + weights.depth * loss_depth
+            + weights.transmittance * loss_trans
+        )
+        decay = tv_factor ** step.astype(jnp.float32)
+        metrics = {
+            "mse": loss_rgb,
+            "psnr": L.mse2psnr(loss_rgb),
+            "depth_loss": loss_depth,
+            "transmit_loss": loss_trans,
+        }
+        if weights.tv_density > 0:
+            tv_d = tf.tv_loss_density(cfg, params) * weights.tv_density * decay
+            total = total + tv_d
+            metrics["reg_tv_density"] = tv_d
+        if weights.tv_app > 0:
+            tv_a = tf.tv_loss_app(cfg, params) * weights.tv_app * decay
+            total = total + tv_a
+            metrics["reg_tv_app"] = tv_a
+        if weights.l1 > 0:
+            total = total + weights.l1 * tf.density_l1(cfg, params)
+        if weights.ortho > 0:
+            total = total + weights.ortho * tf.vector_comp_diffs(cfg, params)
+        return total, metrics
+
+    @jax.jit
+    def train_step(state: TrainState, aabb, batch, rng):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, aabb, batch, rng, state.step
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return train_step
+
+
+class PermutationSampler:
+    """Random-permutation batch sampler (SimpleSampler, renderer.py:14-26).
+
+    Host-side; reshuffles when the next batch would run past the pool.
+    """
+
+    def __init__(self, total: int, batch: int, seed: int = 0):
+        import numpy as np
+
+        self.total = int(total)
+        self.batch = int(batch)
+        self.curr = self.total
+        self.ids = None
+        self._rng = np.random.default_rng(seed)
+
+    def next_ids(self):
+        import numpy as np
+
+        self.curr += self.batch
+        if self.curr + self.batch > self.total:
+            self.ids = self._rng.permutation(self.total)
+            self.curr = 0
+        return self.ids[self.curr : self.curr + self.batch]

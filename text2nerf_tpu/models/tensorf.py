@@ -277,6 +277,100 @@ def compute_app_feature(cfg: TensoRFConfig, params, xn):
     return jnp.concatenate(feats, axis=-1) @ params["basis"]
 
 
+def pack_params(cfg: TensoRFConfig, params):
+    """Build corner-packed gather tables (see ops/fused_gather.py).
+
+    Done inside the jit region each call: a cheap shifted-concat that XLA
+    fuses, keeping gradients attached to the canonical parameters.
+    Returns a dict with packed tables and the (h, w, l, c) shapes needed
+    at sample time.
+    """
+    from ..ops import fused_gather as fg
+
+    packed = {}
+    if cfg.model_name == "vm_split":
+        packed["density"] = []
+        packed["app"] = []
+        for i in range(3):
+            dp, dl = params["density_planes"][i], params["density_lines"][i]
+            ap, al = params["app_planes"][i], params["app_lines"][i]
+            packed["density"].append(
+                (fg.pack_plane(dp), dp.shape, fg.pack_line(dl), dl.shape)
+            )
+            packed["app"].append(
+                (fg.pack_plane(ap), ap.shape, fg.pack_line(al), al.shape)
+            )
+    elif cfg.model_name == "cp":
+        packed["density"] = [
+            (fg.pack_line(l), l.shape) for l in params["density_lines"]
+        ]
+        packed["app"] = [(fg.pack_line(l), l.shape) for l in params["app_lines"]]
+    else:  # fused vm
+        nd, na = cfg.density_n_comp[0], cfg.app_n_comp[0]
+        packed["density"] = []
+        packed["app"] = []
+        for i in range(3):
+            dp = params["planes"][i][..., -nd:]
+            dl = params["lines"][i][..., -nd:]
+            ap = params["planes"][i][..., :na]
+            al = params["lines"][i][..., :na]
+            packed["density"].append(
+                (fg.pack_plane(dp), dp.shape, fg.pack_line(dl), dl.shape)
+            )
+            packed["app"].append(
+                (fg.pack_plane(ap), ap.shape, fg.pack_line(al), al.shape)
+            )
+    packed["basis"] = params["basis"]
+    if "mlp" in params:
+        packed["mlp"] = params["mlp"]
+    return packed
+
+
+def compute_density_feature_packed(cfg: TensoRFConfig, packed, xn):
+    """Fast-path density features via corner-packed gathers (6 rows/sample
+    instead of 18); numerically identical to compute_density_feature."""
+    from ..ops import fused_gather as fg
+
+    if cfg.model_name == "cp":
+        prod = None
+        for i in range(3):
+            tbl, (l, c) = packed["density"][i]
+            lf = fg.sample_packed_line(tbl, l, c, xn[:, VEC_MODE[i]])
+            prod = lf if prod is None else prod * lf
+        return jnp.sum(prod, axis=-1)
+
+    sigma = jnp.zeros(xn.shape[0], xn.dtype)
+    for i in range(3):
+        m0, m1 = MAT_MODE[i]
+        ptbl, (h, w, c), ltbl, (l, _) = packed["density"][i]
+        pf = fg.sample_packed_plane(ptbl, h, w, c, xn[:, m0], xn[:, m1])
+        lf = fg.sample_packed_line(ltbl, l, c, xn[:, VEC_MODE[i]])
+        sigma = sigma + jnp.sum(pf * lf, axis=-1)
+    return sigma
+
+
+def compute_app_feature_packed(cfg: TensoRFConfig, packed, xn):
+    """Fast-path appearance features via corner-packed gathers."""
+    from ..ops import fused_gather as fg
+
+    if cfg.model_name == "cp":
+        prod = None
+        for i in range(3):
+            tbl, (l, c) = packed["app"][i]
+            lf = fg.sample_packed_line(tbl, l, c, xn[:, VEC_MODE[i]])
+            prod = lf if prod is None else prod * lf
+        return prod @ packed["basis"]
+
+    feats = []
+    for i in range(3):
+        m0, m1 = MAT_MODE[i]
+        ptbl, (h, w, c), ltbl, (l, _) = packed["app"][i]
+        pf = fg.sample_packed_plane(ptbl, h, w, c, xn[:, m0], xn[:, m1])
+        lf = fg.sample_packed_line(ltbl, l, c, xn[:, VEC_MODE[i]])
+        feats.append(pf * lf)
+    return jnp.concatenate(feats, axis=-1) @ packed["basis"]
+
+
 def feature2density(cfg: TensoRFConfig, feat):
     """softplus(feat + density_shift) or relu (tensorBase.py:406-410)."""
     if cfg.fea2dense == "softplus":

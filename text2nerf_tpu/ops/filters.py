@@ -1,0 +1,221 @@
+"""Depth/RGB image filters, vectorized for XLA.
+
+Re-designs of the reference's per-pixel Python loops (a major host
+bottleneck):
+
+- :func:`depth_discontinuity` — vis_depth_discontinuity
+  (/root/reference/dataLoader/bilateral_filtering.py:72-136): 4-direction
+  disparity-edge maps.
+- :func:`discontinuity_median_filter` — the sparse bilateral filter's inner
+  weighted-median pass (bilateral_filtering.py:138-228, the
+  discontinuity-map branch): for each pixel whose window touches a
+  discontinuity, replace it by the coef-weighted median of the window with
+  coef = 1 - discontinuity.  Vectorized as stacked window shifts + sort +
+  cumulative-weight median (identical output).
+- :func:`sparse_bilateral_filtering` — the iterative driver
+  (bilateral_filtering.py:5-35), preserving the reference's quirk that the
+  returned state is the one saved *before* the final filter application.
+- :func:`hole_fill` — dibr_filter_mask2 (utils.py:394-409): weighted
+  neighborhood hole filling.  The reference scans pixels sequentially
+  (newly-filled pixels immediately count as known for later pixels); the
+  XLA version iterates synchronous passes until convergence, which fills a
+  superset in the same spirit.  A bit-exact sequential C++ version lives in
+  text2nerf_tpu/native (used where parity matters).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def depth_discontinuity(depth, threshold: float = 0.04, mask=None, use_disparity=True):
+    """4-direction disparity discontinuity maps (bilateral_filtering.py:72-122).
+
+    Returns (u, b, l, r) float maps of the full (H, W) shape (interior
+    computed, border zero-padded like the reference).
+    """
+    disp = 1.0 / depth if use_disparity else depth
+    u = (disp[1:, :] - disp[:-1, :])[:-1, 1:-1]
+    b = (disp[:-1, :] - disp[1:, :])[1:, 1:-1]
+    l = (disp[:, 1:] - disp[:, :-1])[1:-1, :-1]
+    r = (disp[:, :-1] - disp[:, 1:])[1:-1, 1:]
+    if mask is not None:
+        u = u * (mask[1:, :] * mask[:-1, :])[:-1, 1:-1]
+        b = b * (mask[:-1, :] * mask[1:, :])[1:, 1:-1]
+        l = l * (mask[:, 1:] * mask[:, :-1])[1:-1, :-1]
+        r = r * (mask[:, :-1] * mask[:, 1:])[1:-1, 1:]
+    out = []
+    for d in (u, b, l, r):
+        over = (jnp.abs(d) > threshold).astype(jnp.float32)
+        out.append(jnp.pad(over, 1))
+    return tuple(out)
+
+
+def _window_stack(x, win: int):
+    """(H+2m, W+2m) padded array → (H, W, win*win) window view via shifts."""
+    h = x.shape[0] - (win - 1)
+    w = x.shape[1] - (win - 1)
+    views = [
+        jax.lax.dynamic_slice(x, (dy, dx), (h, w))
+        for dy in range(win)
+        for dx in range(win)
+    ]
+    return jnp.stack(views, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("window",))
+def discontinuity_median_filter(values, discontinuity, window: int):
+    """One weighted-median pass of the sparse bilateral filter.
+
+    Mirrors bilateral_filter's discontinuity branch
+    (bilateral_filtering.py:167-198): border ring replaced by its neighbor
+    ring, edge padding, coef = 1 - discontinuity over the window, weighted
+    median ordered by value, untouched where the window has no
+    discontinuity or all coefs are zero.
+    """
+    m = window // 2
+    # ring replacement (bilateral_filtering.py:148-155)
+    v = jnp.pad(values[1:-1, 1:-1], ((1, 1), (1, 1)), mode="edge")
+    d = jnp.pad(discontinuity[1:-1, 1:-1], ((1, 1), (1, 1)), mode="edge")
+    pv = jnp.pad(v, ((m, m), (m, m)), mode="edge")
+    pd = jnp.pad(d, ((m, m), (m, m)), mode="edge")
+
+    vals = _window_stack(pv, window)          # (H, W, K)
+    disc = _window_stack(pd, window)          # (H, W, K)
+    coef = 1.0 - disc
+
+    order = jnp.argsort(vals, axis=-1)
+    vals_sorted = jnp.take_along_axis(vals, order, axis=-1)
+    coef_sorted = jnp.take_along_axis(coef, order, axis=-1)
+    csum = coef_sorted.sum(axis=-1, keepdims=True)
+    cum = jnp.cumsum(coef_sorted / jnp.maximum(csum, 1e-30), axis=-1)
+    idx = jnp.sum(cum <= 0.5, axis=-1, keepdims=True)
+    idx = jnp.minimum(idx, window * window - 1)
+    median = jnp.take_along_axis(vals_sorted, idx, axis=-1)[..., 0]
+
+    touched = disc.sum(axis=-1) > 0
+    has_coef = coef.max(axis=-1) > 0
+    out = jnp.where(touched & has_coef, median, v)
+    out = jnp.where(touched & ~has_coef, v, out)
+    return out
+
+
+def sparse_bilateral_filtering(
+    depth,
+    image,
+    filter_size=(5, 5, 3, 3),
+    depth_threshold: float = 0.02,
+    num_iter: int = 4,
+    mask=None,
+):
+    """Iterative discontinuity-aware median filtering of depth + RGB.
+
+    Mirrors sparse_bilateral_filtering (bilateral_filtering.py:5-35)
+    including the reference's save-before-filter behavior: the returned
+    state has ``num_iter - 1`` filter applications applied.
+
+    Returns (image', depth') as jnp arrays.
+    """
+    depth0 = jnp.asarray(depth, jnp.float32)
+    vis_depth = depth0
+    vis_image = jnp.asarray(image, jnp.float32)
+    for i in range(num_iter - 1):
+        win = filter_size[i] if not np.isscalar(filter_size) else filter_size
+        u, b, l, r = depth_discontinuity(vis_depth, depth_threshold, mask)
+        disc = jnp.clip(u + b + l + r, 0.0, 1.0)
+        disc = jnp.where(depth0 == 0, 1.0, disc)
+        if mask is not None:
+            disc = jnp.where(jnp.asarray(mask) == 0, 0.0, disc)
+        vis_depth = discontinuity_median_filter(vis_depth, disc, int(win))
+        vis_image = jnp.stack(
+            [
+                discontinuity_median_filter(vis_image[..., c], disc, int(win))
+                for c in range(vis_image.shape[-1])
+            ],
+            axis=-1,
+        )
+    return vis_image, vis_depth
+
+
+# ---------------------------------------------------------------------------
+# DIBR hole filling
+# ---------------------------------------------------------------------------
+
+_W5 = np.array(
+    [
+        [1, 1, 1.5, 1, 1],
+        [1, 1.5, 3, 1.5, 1],
+        [1.5, 3, 0, 3, 1.5],
+        [1, 1.5, 3, 1.5, 1],
+        [1, 1, 1.5, 1, 1],
+    ],
+    np.float32,
+)
+
+
+@functools.partial(jax.jit, static_argnames=("threshold", "max_passes"))
+def hole_fill(image, mask, depth=None, threshold: float = 0.65, max_passes: int = 8):
+    """Weighted-neighborhood hole filling (dibr_filter_mask2,
+    utils.py:394-409) as synchronous passes.
+
+    A hole pixel whose 5x5 weighted known-fraction exceeds ``threshold`` is
+    filled with the mask-weighted 3x3 mean of its known neighbors.  Repeats
+    up to ``max_passes`` (the sequential reference effectively does a
+    raster-order epsilon of this; outputs agree on all but a thin frontier).
+
+    Returns (image, mask, depth) with holes filled.
+    """
+    w5 = jnp.asarray(_W5) / float(_W5.sum())
+    ones3 = jnp.ones((3, 3), jnp.float32)
+
+    def conv2(x, k):
+        return jax.lax.conv_general_dilated(
+            x[None, None], k[None, None], (1, 1), "SAME",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )[0, 0]
+
+    def body(_, state):
+        img, m, dep = state
+        frac = conv2(m, w5)
+        neigh_m = conv2(m, ones3)
+        fill = (m == 0) & (frac > threshold) & (neigh_m > 0)
+        # interior only (reference loops 2..H-3)
+        interior = jnp.zeros_like(m, bool).at[2:-2, 2:-2].set(True)
+        fill = fill & interior
+        img_mean = jnp.stack(
+            [conv2(img[..., c] * m, ones3) for c in range(img.shape[-1])], -1
+        ) / jnp.maximum(neigh_m, 1e-12)[..., None]
+        img = jnp.where(fill[..., None], img_mean, img)
+        if dep is not None:
+            dep_mean = conv2(dep * m, ones3) / jnp.maximum(neigh_m, 1e-12)
+            dep = jnp.where(fill, dep_mean, dep)
+        m = jnp.where(fill, 1.0, m)
+        return img, m, dep
+
+    state = (
+        jnp.asarray(image, jnp.float32),
+        jnp.asarray(mask, jnp.float32),
+        None if depth is None else jnp.asarray(depth, jnp.float32),
+    )
+    state = jax.lax.fori_loop(0, max_passes, body, state)
+    return state
+
+
+def expand_mask_blur(mask, ksize: int = 5, thresh: float = 0.99):
+    """cv2.blur-based mask erosion used before inpainting
+    (text2nerf_main.py:147-152): blur the mask and keep pixels whose
+    blurred value exceeds ``thresh``."""
+    m = jnp.asarray(mask, jnp.float32)
+    k = jnp.ones((ksize, ksize), jnp.float32) / (ksize * ksize)
+    # cv2.blur uses BORDER_REFLECT_101 padding
+    p = ksize // 2
+    mp = jnp.pad(m, ((p, p), (p, p)), mode="reflect")
+    blurred = jax.lax.conv_general_dilated(
+        mp[None, None], k[None, None], (1, 1), "VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )[0, 0]
+    return (blurred > thresh).astype(jnp.float32)

@@ -1,0 +1,73 @@
+"""Corner-packed feature gathers — the TPU fast path for factor sampling.
+
+Profiling on TPU v5e shows XLA row-gather cost is per-row (~5 ns/row) and
+essentially independent of row width (64 B vs 256 B rows cost the same).
+Bilinear plane sampling therefore pays 4x too much when fetching the four
+corners as separate gathers, and the reference's 3 planes + 3 lines
+(tensoRF.py:205-220) cost 18 gathered rows per sample.
+
+The fix: pre-pack each plane into a table whose row (y, x) holds all four
+bilinear corners ``[p(y,x), p(y,x+1), p(y+1,x), p(y+1,x+1)]`` (edge-clamped)
+and each line into rows ``[l(y), l(y+1)]``.  One gather per plane and per
+line → 6 rows per sample, a ~3-4x reduction in gather cost.  Packing is a
+cheap shifted-concat (fully fused by XLA) done inside the jit region, so
+gradients flow back to the canonical parameters and training sees the same
+optimizer state layout.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def pack_plane(plane):
+    """(H, W, C) → (H*W, 4C) corner-packed table (edge-clamped)."""
+    h, w, c = plane.shape
+    p = jnp.pad(plane, ((0, 1), (0, 1), (0, 0)), mode="edge")
+    packed = jnp.concatenate(
+        [p[:-1, :-1], p[:-1, 1:], p[1:, :-1], p[1:, 1:]], axis=-1
+    )
+    return packed.reshape(h * w, 4 * c)
+
+
+def pack_line(line):
+    """(L, C) → (L, 2C) pair-packed table (edge-clamped)."""
+    p = jnp.pad(line, ((0, 1), (0, 0)), mode="edge")
+    return jnp.concatenate([p[:-1], p[1:]], axis=-1)
+
+
+def _coords(u, size: int):
+    f = (u + 1.0) * 0.5 * (size - 1)
+    i0 = jnp.clip(jnp.floor(f).astype(jnp.int32), 0, size - 1)
+    t = jnp.clip(f - i0.astype(f.dtype), 0.0, 1.0)
+    return i0, t
+
+
+def sample_packed_plane(packed, h: int, w: int, c: int, x, y):
+    """Bilinear sample from a corner-packed plane table.
+
+    Args:
+      packed: (H*W, 4C) from :func:`pack_plane`.
+      x, y: (N,) normalized coords in [-1, 1] (x indexes W, y indexes H).
+
+    Returns: (N, C)
+    """
+    x0, tx = _coords(x, w)
+    y0, ty = _coords(y, h)
+    rows = jnp.take(packed, y0 * w + x0, axis=0)  # (N, 4C)
+    f00 = rows[:, 0 * c : 1 * c]
+    f01 = rows[:, 1 * c : 2 * c]
+    f10 = rows[:, 2 * c : 3 * c]
+    f11 = rows[:, 3 * c : 4 * c]
+    tx = tx[:, None]
+    ty = ty[:, None]
+    top = f00 * (1.0 - tx) + f01 * tx
+    bot = f10 * (1.0 - tx) + f11 * tx
+    return top * (1.0 - ty) + bot * ty
+
+
+def sample_packed_line(packed, l: int, c: int, y):
+    """Linear sample from a pair-packed line table. Returns (N, C)."""
+    y0, ty = _coords(y, l)
+    rows = jnp.take(packed, y0, axis=0)  # (N, 2C)
+    return rows[:, :c] * (1.0 - ty[:, None]) + rows[:, c:] * ty[:, None]

@@ -128,9 +128,10 @@ def render_rays(
         valid = valid & (pts[..., 2] > eval_z_min)
 
     xn = jnp.clip(tf.normalize_coord(aabb, pts), -1.0, 1.0)
-    feat = tf.compute_density_feature(cfg, params, xn.reshape(-1, 3)).reshape(
-        b, n_samples
-    )
+    packed = tf.pack_params(cfg, params)
+    feat = tf.compute_density_feature_packed(
+        cfg, packed, xn.reshape(-1, 3)
+    ).reshape(b, n_samples)
     sigma = jnp.where(valid, tf.feature2density(cfg, feat), 0.0)
 
     _, weights, _ = raw2alpha(sigma, dists * cfg.distance_scale)
@@ -142,7 +143,7 @@ def render_rays(
     xn_k = jnp.take_along_axis(xn, idx[..., None], axis=1)
     app_ok = (w_top > cfg.raymarch_weight_thres)[..., None]
 
-    app_feat = tf.compute_app_feature(cfg, params, xn_k.reshape(-1, 3))
+    app_feat = tf.compute_app_feature_packed(cfg, packed, xn_k.reshape(-1, 3))
     dirs_k = jnp.broadcast_to(viewdirs[:, None], (b, k, 3)).reshape(-1, 3)
     rgb_k = mlp_mod.shade(
         cfg.shading_mode,
