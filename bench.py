@@ -1,0 +1,91 @@
+"""Benchmark: render throughput (rays/sec/chip) at the reference config.
+
+Renders full 512x512 views from a TensoRF-VM field at the production
+configuration of the reference pipeline (300^3 grid, 259 samples/ray,
+16/48 components, chunk 16384 — text2nerf_main.py:438-439,662-664) on the
+real TPU chip and prints ONE JSON line.
+
+``vs_baseline`` compares against the naive-gather implementation measured
+on the same chip at the start of round 1 (separate 4-corner gathers per
+plane/line: 640 ms per 16384-ray chunk = 25.6k rays/s).  The upstream
+reference publishes no numbers (BASELINE.md), so the recorded naive JAX
+port stands in as the translation-not-redesign baseline.
+"""
+
+import json
+import time
+
+import numpy as np
+
+NAIVE_BASELINE_RAYS_PER_S = 25_600.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from text2nerf_tpu.models import tensorf as tf
+    from text2nerf_tpu.ops import rays as R
+    from text2nerf_tpu.ops import render as Rd
+    from text2nerf_tpu.data import trajectories as traj
+
+    cfg = tf.TensoRFConfig()
+    aabb = jnp.array([[-8.0, -8.0, -8.0], [8.0, 8.0, 8.0]])
+    reso = tf.n_to_reso(27_000_000, aabb)
+    n_samples = tf.default_n_samples(reso, cfg.step_ratio)
+    params = tf.init_params(jax.random.PRNGKey(0), cfg, reso)
+    # occupy the field so appearance compaction does real work
+    params = dict(params)
+    params["density_planes"] = tuple(
+        jnp.abs(p) * 0.5 + 0.5 for p in params["density_planes"]
+    )
+    params["density_lines"] = tuple(
+        jnp.abs(l) * 0.5 + 0.5 for l in params["density_lines"]
+    )
+
+    h = w = 512
+    fx, fy, cx, cy = R.default_intrinsics(h, w)
+    dirs = R.ray_directions(h, w, (fx, fy), (cx, cy))
+    poses = traj.test_trajectory("circle0", np.eye(4), angle=0.2, trans_range=0.2)
+
+    chunk = 16384
+    n_views = 4  # distinct inputs per dispatch (defeats buffer-result caching)
+    all_rays = [
+        jnp.concatenate(R.rays_from_pose(dirs, jnp.asarray(poses[i])), -1)
+        for i in range(n_views)
+    ]
+
+    def render_view(rays):
+        outs = []
+        for s in range(0, rays.shape[0], chunk):
+            out = Rd.render_rays(
+                cfg, params, aabb, rays[s : s + chunk],
+                n_samples=n_samples, app_k=64, white_bg=True,
+            )
+            outs.append(out.rgb)
+        return outs
+
+    # warm up / compile
+    np.asarray(render_view(all_rays[0])[-1])
+
+    t0 = time.time()
+    for i in range(n_views):
+        outs = render_view(all_rays[i])
+    np.asarray(outs[-1])  # sync
+    dt = time.time() - t0
+    rays_per_s = n_views * h * w / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "render_rays_per_sec_per_chip_512px",
+                "value": round(rays_per_s, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(rays_per_s / NAIVE_BASELINE_RAYS_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

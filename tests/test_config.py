@@ -1,0 +1,64 @@
+"""Config system tests: file parsing, CLI override, dataclass mapping."""
+
+import os
+
+from text2nerf_tpu import config as C
+
+
+def test_config_file_parsing(tmp_path):
+    p = tmp_path / "cfg.txt"
+    p.write_text(
+        """
+# comment
+expname = myexp
+batch_size = 4096
+step_ratio = 1.0
+n_lamb_sigma = [16,16,16]
+n_lamb_sh = [48,48,48]
+model_name = TensorVMSplit
+shadingMode = MLP_Fea_noview
+TV_weight_density = 0.1
+render_test = 1
+"""
+    )
+    vals = C.read_config_file(str(p))
+    assert vals["expname"] == "myexp"
+    assert vals["batch_size"] == 4096
+    assert vals["n_lamb_sigma"] == [16, 16, 16]
+    assert vals["TV_weight_density"] == 0.1
+
+
+def test_cli_overrides_config_file(tmp_path):
+    p = tmp_path / "cfg.txt"
+    p.write_text("batch_size = 4096\nexpname = fromfile\n")
+    args = C.parse_args(["--config", str(p), "--batch_size", "1024"])
+    assert args.batch_size == 1024     # CLI wins
+    assert args.expname == "fromfile"  # file default survives
+
+
+def test_to_configs_mapping():
+    args = C.parse_args(
+        ["--model_name", "TensorCP", "--n_lamb_sigma", "96",
+         "--n_lamb_sh", "288", "--prompt", "a test"]
+    )
+    train, scene, expansion = C.to_configs(args)
+    assert train.model.model_name == "cp"
+    assert train.model.density_n_comp == (96,)
+    assert scene.prompt == "a test"
+    assert expansion.prompt == "a test"
+    # reference defaults present
+    assert train.model.distance_scale == 25.0
+    assert train.model.density_shift == -10.0
+    assert train.lr_init == 0.02 and train.lr_basis == 1e-3
+
+
+def test_reference_config_file_parses():
+    """Our parser must accept the reference's shipped config format."""
+    ref = "/root/reference/configs/text2nerf_scenes.txt"
+    if not os.path.exists(ref):
+        return
+    vals = C.read_config_file(ref)
+    assert vals["model_name"] == "TensorVMSplit"
+    assert vals["n_lamb_sigma"] == [16, 16, 16]
+    assert vals["shadingMode"] == "MLP_Fea_noview"
+    assert vals["step_ratio"] == 1.0

@@ -1,0 +1,184 @@
+"""Config-file + CLI flag system.
+
+Equivalent of the reference's configargparse setup
+(/root/reference/e_opt.py:4-155 + configs/text2nerf_scenes.txt): a
+``--config`` file of ``key = value`` lines merged with CLI overrides, using
+only stdlib argparse (configargparse is not available on pods).  List
+values use ``[a,b,c]`` syntax like the reference config file
+(n_lamb_sigma/n_lamb_sh, configs/text2nerf_scenes.txt:23-24).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import re
+from typing import List, Optional
+
+from .models.tensorf import TensoRFConfig
+from .data.scene_state import SceneConfig
+from .engine.trainer import TrainConfig
+from .engine.expansion import ExpansionConfig
+
+
+def _parse_value(raw: str):
+    raw = raw.strip()
+    if raw.startswith("[") and raw.endswith("]"):
+        return [_parse_value(v) for v in raw[1:-1].split(",") if v.strip()]
+    for cast in (int, float):
+        try:
+            return cast(raw)
+        except ValueError:
+            pass
+    if raw.lower() in ("true", "false"):
+        return raw.lower() == "true"
+    return raw
+
+
+def read_config_file(path: str) -> dict:
+    """Parse a ``key = value`` config file with # comments."""
+    out = {}
+    with open(path) as f:
+        for line in f:
+            line = line.split("#", 1)[0].strip()
+            if not line or "=" not in line:
+                continue
+            key, val = line.split("=", 1)
+            out[key.strip()] = _parse_value(val)
+    return out
+
+
+_MODEL_NAME_MAP = {"TensorVMSplit": "vm_split", "TensorCP": "cp", "TensorVM": "vm"}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("text2nerf_tpu")
+    p.add_argument("--config", type=str, default=None)
+    # experiment
+    p.add_argument("--expname", type=str, default="exp")
+    p.add_argument("--basedir", type=str, default="./log")
+    p.add_argument("--datadir", type=str, default="./data/scene")
+    p.add_argument("--prompt", type=str, default="a cozy living room")
+    p.add_argument("--weights_dir", type=str, default="weights")
+    # schedule
+    p.add_argument("--n_stage1", type=int, default=50)
+    p.add_argument("--n_stage2", type=int, default=50)
+    p.add_argument("--batch_size", type=int, default=16384)
+    p.add_argument("--seed", type=int, default=1024)
+    # scene
+    p.add_argument("--pose_traj", type=str, default="local_fixed")
+    p.add_argument("--num_training", type=int, default=24)
+    p.add_argument("--angle", type=float, default=0.2)
+    p.add_argument("--trans_range", type=float, default=0.2)
+    p.add_argument("--push_depth", type=float, default=2.0)
+    p.add_argument("--regen_pose", action="store_true", default=True)
+    p.add_argument("--use_support_set", action="store_true", default=True)
+    p.add_argument("--hw", type=int, nargs=2, default=[512, 512])
+    # lr / losses
+    p.add_argument("--lr_init", type=float, default=0.02)
+    p.add_argument("--lr_basis", type=float, default=1e-3)
+    p.add_argument("--lr_decay_iters", type=int, default=-1)
+    p.add_argument("--lr_decay_target_ratio", type=float, default=0.1)
+    p.add_argument("--TV_weight_density", type=float, default=0.1)
+    p.add_argument("--TV_weight_app", type=float, default=0.01)
+    p.add_argument("--L1_weight_inital", type=float, default=0.0)
+    p.add_argument("--Ortho_weight", type=float, default=0.0)
+    # model
+    p.add_argument("--model_name", type=str, default="TensorVMSplit",
+                   choices=list(_MODEL_NAME_MAP))
+    p.add_argument("--n_lamb_sigma", type=int, nargs="*", default=[16, 16, 16])
+    p.add_argument("--n_lamb_sh", type=int, nargs="*", default=[48, 48, 48])
+    p.add_argument("--data_dim_color", type=int, default=27)
+    p.add_argument("--shadingMode", type=str, default="MLP_Fea_noview")
+    p.add_argument("--pos_pe", type=int, default=6)
+    p.add_argument("--view_pe", type=int, default=2)
+    p.add_argument("--fea_pe", type=int, default=6)
+    p.add_argument("--featureC", type=int, default=128)
+    p.add_argument("--density_shift", type=float, default=-10.0)
+    p.add_argument("--distance_scale", type=float, default=25.0)
+    p.add_argument("--rm_weight_mask_thre", type=float, default=1e-4)
+    p.add_argument("--alpha_mask_thre", type=float, default=1e-4)
+    p.add_argument("--fea2denseAct", type=str, default="softplus")
+    p.add_argument("--step_ratio", type=float, default=1.0)
+    p.add_argument("--N_voxel_init", type=int, default=27_000_000)
+    p.add_argument("--N_voxel_final", type=int, default=27_000_000)
+    p.add_argument("--nSamples", type=int, default=10 ** 6)
+    p.add_argument("--ndc_ray", type=int, default=0)
+    p.add_argument("--app_k", type=int, default=64)
+    # rendering entries
+    p.add_argument("--ckpt", type=str, default=None)
+    p.add_argument("--render_only", type=int, default=0)
+    p.add_argument("--render_test", type=int, default=0)
+    p.add_argument("--render_path", type=int, default=0)
+    p.add_argument("--export_mesh", type=int, default=0)
+    # expansion
+    p.add_argument("--frame_select_type", type=str, default="auto_cos")
+    p.add_argument("--use_filter_filling_holes", action="store_true", default=True)
+    p.add_argument("--use_rendered_img_to_warp", action="store_true", default=True)
+    p.add_argument("--update_known_views", action="store_true", default=False)
+    return p
+
+
+def parse_args(argv: Optional[List[str]] = None):
+    """Parse CLI + optional config file (file values are defaults; CLI wins)."""
+    parser = build_parser()
+    args, _ = parser.parse_known_args(argv)
+    if args.config:
+        file_vals = read_config_file(args.config)
+        known = {a.dest for a in parser._actions}
+        parser.set_defaults(**{k: v for k, v in file_vals.items() if k in known})
+        args = parser.parse_args(argv)
+    return args
+
+
+def to_configs(args):
+    """argparse Namespace → (TrainConfig, SceneConfig, ExpansionConfig)."""
+    model = TensoRFConfig(
+        model_name=_MODEL_NAME_MAP[args.model_name],
+        density_n_comp=tuple(args.n_lamb_sigma),
+        app_n_comp=tuple(args.n_lamb_sh),
+        app_dim=args.data_dim_color,
+        shading_mode=args.shadingMode,
+        pos_pe=args.pos_pe, view_pe=args.view_pe, fea_pe=args.fea_pe,
+        feature_c=args.featureC,
+        density_shift=args.density_shift,
+        distance_scale=args.distance_scale,
+        raymarch_weight_thres=args.rm_weight_mask_thre,
+        alpha_mask_thres=args.alpha_mask_thre,
+        fea2dense=args.fea2denseAct,
+        step_ratio=args.step_ratio,
+    )
+    train = TrainConfig(
+        expname=args.expname, basedir=args.basedir,
+        n_stage1=args.n_stage1, n_stage2=args.n_stage2,
+        batch_size=args.batch_size,
+        lr_init=args.lr_init, lr_basis=args.lr_basis,
+        lr_decay_iters=args.lr_decay_iters,
+        lr_decay_target_ratio=args.lr_decay_target_ratio,
+        tv_weight_density=args.TV_weight_density,
+        tv_weight_app=args.TV_weight_app,
+        n_voxel_init=args.N_voxel_init,
+        n_samples_cap=args.nSamples,
+        app_k=args.app_k, ndc_ray=bool(args.ndc_ray),
+        ckpt=args.ckpt,
+        render_test=bool(args.render_test), render_path=bool(args.render_path),
+        seed=args.seed, model=model,
+    )
+    scene = SceneConfig(
+        datadir=args.datadir, prompt=args.prompt,
+        pose_traj=args.pose_traj, num_training=args.num_training,
+        angle=args.angle, trans_range=args.trans_range,
+        push_depth=args.push_depth, hw=tuple(args.hw),
+        use_support_set=args.use_support_set, regen_pose=args.regen_pose,
+    )
+    expansion = ExpansionConfig(
+        prompt=args.prompt, push_depth=args.push_depth,
+        trans_range=args.trans_range,
+        use_support_set=args.use_support_set,
+        update_known_views=args.update_known_views,
+        use_filter_filling_holes=args.use_filter_filling_holes,
+        use_rendered_img_to_warp=args.use_rendered_img_to_warp,
+        frame_select_type=args.frame_select_type,
+        chunk=args.batch_size, app_k=args.app_k,
+    )
+    return train, scene, expansion

@@ -1,0 +1,317 @@
+"""Scene state: the functional replacement for SceneGenDataset.
+
+The reference mutates a torch Dataset in place as the scene grows
+(/root/reference/dataLoader/scene_gen.py:103-443,
+/root/reference/text2nerf_main.py:296-399).  Here the scene is an explicit
+state object of numpy/JAX arrays; the bootstrap and every expansion step
+return new state, which keeps the progressive trainer functional and
+resumable.
+
+Generative priors (text2img / depth estimation) are injected as callables
+so the whole pipeline is hermetically testable (the reference constructs
+pipelines inline and cannot be faked — SURVEY §4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Callable, Dict, Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops import rays as ray_ops
+from ..ops import splat as splat_ops
+from ..ops import filters as filter_ops
+from . import io as scene_io
+from . import trajectories as traj
+
+
+def formatted_ray_pool(images, depths, masks, poses, intrinsic, h, w):
+    """Flattened masked training pools + per-view split tensors.
+
+    Mirrors produce_formatted_data train mode (scene_gen.py:31-86):
+    normalized ray directions, per-view rays [o|d], masked selection into
+    flat pools.
+
+    Returns (rays [M,6], rgbs [M,3], depths [M],
+             rays_split [N,H*W,6], rgbs_split [N,H,W,3], depths_split [N,H,W]).
+    """
+    fx, fy, cx, cy = intrinsic
+    dirs = ray_ops.ray_directions(h, w, (fx, fy), (cx, cy))
+    rays_split = np.asarray(ray_ops.rays_from_poses(dirs, jnp.asarray(poses)))
+
+    images = np.asarray(images, np.float32)
+    depths = np.asarray(depths, np.float32)
+    masks = np.asarray(masks)
+
+    n = poses.shape[0]
+    sel_rays, sel_rgbs, sel_depths = [], [], []
+    for i in range(n):
+        m = masks[i].reshape(-1) > 0.5
+        sel_rays.append(rays_split[i][m])
+        sel_rgbs.append(images[i].reshape(-1, 3)[m])
+        sel_depths.append(depths[i].reshape(-1)[m])
+    return (
+        np.concatenate(sel_rays, 0),
+        np.concatenate(sel_rgbs, 0),
+        np.concatenate(sel_depths, 0),
+        rays_split,
+        images.reshape(n, h, w, 3),
+        depths.reshape(n, h, w),
+    )
+
+
+def test_ray_split(poses, intrinsic, h, w):
+    """produce_formatted_data test mode (scene_gen.py:88-98)."""
+    fx, fy, cx, cy = intrinsic
+    dirs = ray_ops.ray_directions(h, w, (fx, fy), (cx, cy))
+    return np.asarray(ray_ops.rays_from_poses(dirs, jnp.asarray(poses)))
+
+
+@dataclasses.dataclass
+class SceneState:
+    """Everything the progressive trainer needs about the growing scene."""
+
+    hw: Tuple[int, int]
+    intrinsic: Tuple[float, float, float, float]
+    scene_bbox: np.ndarray            # (2, 3), ±scene_bound (scene_gen.py:117)
+    near_far: Tuple[float, float]     # (0.5, 8.0) (scene_gen.py:121)
+    white_bg: bool
+    poses_gen: np.ndarray             # (V, 4, 4) trajectory poses
+    poses_support: np.ndarray         # (9, 4, 4) support poses of view 0
+    # flat masked pools over the seed's support set (stage-1 training data)
+    all_rays: np.ndarray
+    all_rgbs: np.ndarray
+    all_depth: np.ndarray
+    # per-view split tensors for the generation loop
+    rays_gen_split: np.ndarray        # (V, H*W, 6)
+    rgbs_gen_split: np.ndarray        # (k, H, W, 3) — grows per expansion
+    depth_gen_split: np.ndarray       # (k, H, W)
+    masks_gen_split: np.ndarray       # (k, H, W) inpaint masks
+    # support-view split tensors (for preview rendering)
+    rays_support_split: np.ndarray
+    # per-view ray-pool updates: view id -> (rays, rgbs, depths)
+    updates: Dict[str, Tuple[np.ndarray, np.ndarray, np.ndarray]] = (
+        dataclasses.field(default_factory=dict)
+    )
+    render_path: Optional[np.ndarray] = None  # test split video poses
+
+
+@dataclasses.dataclass
+class SceneConfig:
+    """Bootstrap options (subset of e_opt.py flags that shape the scene)."""
+
+    datadir: str
+    prompt: str = "a cozy living room"
+    negative_prompt: str = "blurry, bad art, blurred, text, watermark"
+    pose_traj: str = "local_fixed"
+    num_training: int = 24
+    angle: float = 0.2
+    trans_range: float = 0.2
+    push_depth: float = 2.0
+    scene_bound: float = 8.0
+    hw: Tuple[int, int] = (512, 512)
+    use_support_set: bool = True
+    regen_pose: bool = True
+    depth_net_type: int = 2
+    white_bg: bool = True
+    filter_size: Tuple[int, ...] = (5, 5, 3, 3)
+    num_filter_iter: int = 4
+
+
+def bootstrap_scene(
+    cfg: SceneConfig,
+    split: str = "train",
+    text2img: Optional[Callable[[str, str], np.ndarray]] = None,
+    estimate_depth: Optional[Callable[[np.ndarray], np.ndarray]] = None,
+    auto_accept: bool = True,
+    confirm: Optional[Callable[[np.ndarray], bool]] = None,
+) -> SceneState:
+    """Build the initial scene (SceneGenDataset.read_meta, scene_gen.py:159-423).
+
+    - seed image from disk or the injected ``text2img`` service
+      (scene_gen.py:161-178);
+    - metric depth from disk or the injected ``estimate_depth`` service +
+      depth_process (scene_gen.py:189-208);
+    - sparse bilateral filtering of the seed RGBD (scene_gen.py:219-225);
+    - intrinsics rule f=max(H,W), c=center (scene_gen.py:229-237);
+    - trajectory + support poses + support-set warping (scene_gen.py:240-340).
+
+    ``auto_accept`` replaces the reference's interactive stdin approval loop
+    (scene_gen.py:163-173) for batch jobs; pass a ``confirm`` callable to
+    keep a human gate (regenerates while it returns False).
+    """
+    h, w = cfg.hw
+    paths = scene_io.scene_paths(cfg.datadir)
+    for p in paths.values():
+        os.makedirs(p, exist_ok=True)
+
+    # ---- seed image -------------------------------------------------------
+    seed_path = os.path.join(paths["rgb"], "00000.png")
+    if os.path.isfile(seed_path):
+        img = scene_io.read_rgb(seed_path)
+    else:
+        if text2img is None:
+            raise FileNotFoundError(
+                f"no seed image at {seed_path} and no text2img service given"
+            )
+        while True:
+            img = np.asarray(text2img(cfg.prompt, cfg.negative_prompt))
+            if auto_accept or confirm is None or confirm(img):
+                break
+        scene_io.write_rgb(seed_path, img)
+
+    # crop to square if needed (scene_gen.py:180-187)
+    ih, iw = img.shape[:2]
+    if ih != iw:
+        s = min(ih, iw)
+        img = img[:s, :s]
+
+    # ---- depth ------------------------------------------------------------
+    depth_png = os.path.join(paths["depth"], "00000.png")
+    depth_npy = os.path.join(paths["depth"], "00000.npy")
+    if os.path.isfile(depth_png):
+        depth = scene_io.depth_process(
+            scene_io.read_depth_raw(depth_png), cfg.depth_net_type,
+            push_depth=cfg.push_depth,
+        )
+    elif os.path.isfile(depth_npy):
+        depth = (np.load(depth_npy) / 2.0).astype(np.float32)  # scene_gen.py:206-208
+    else:
+        if estimate_depth is None:
+            raise FileNotFoundError(
+                f"no depth at {depth_png} and no depth service given"
+            )
+        counts = np.asarray(estimate_depth(img))
+        scene_io.write_depth_png(depth_png, counts)
+        depth = scene_io.depth_process(
+            counts, cfg.depth_net_type, push_depth=cfg.push_depth
+        )
+    if depth.shape[0] != img.shape[0]:
+        import cv2
+
+        depth = cv2.resize(depth, img.shape[:2][::-1], interpolation=cv2.INTER_NEAREST)
+
+    # resize to target resolution (scene_gen.py:212-216)
+    if img.shape[:2] != (h, w):
+        import cv2
+
+        img = cv2.resize(img, (w, h), interpolation=cv2.INTER_NEAREST)
+        depth = cv2.resize(depth, (w, h), interpolation=cv2.INTER_NEAREST)
+
+    # ---- seed RGBD filtering (scene_gen.py:219-225) ------------------------
+    img_j, depth_j = filter_ops.sparse_bilateral_filtering(
+        depth, img, filter_size=cfg.filter_size,
+        depth_threshold=0.02, num_iter=cfg.num_filter_iter,
+    )
+    img, depth = np.asarray(img_j), np.asarray(depth_j)
+
+    # ---- intrinsics + poses -----------------------------------------------
+    fx, fy, cx, cy = ray_ops.default_intrinsics(h, w)
+    intrinsic = (fx, fy, cx, cy)
+    existing = scene_io.load_poses(paths["cam"])
+    if existing is not None and not cfg.regen_pose:
+        poses = existing
+    else:
+        poses = traj.training_trajectory(
+            cfg.pose_traj, cfg.num_training, cfg.angle, cfg.trans_range
+        )
+        k = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32)
+        scene_io.save_poses(paths["cam"], poses, k)
+
+    # support poses (scene_gen.py:294-300)
+    if cfg.pose_traj == "local_circle":
+        poses_sprt = traj.local_orbit_poses(poses[0], range_center=cfg.trans_range)
+    else:
+        poses_sprt = traj.local_fixed_poses(
+            poses[0], angle=cfg.angle, range_center=cfg.trans_range,
+            range_yaw=0.6, range_pitch=0.2,
+        )
+
+    if split != "train":
+        vposes = traj.test_trajectory(
+            cfg.pose_traj, poses[0], cfg.angle, cfg.trans_range
+        )
+        rays_split = test_ray_split(vposes, intrinsic, h, w)
+        return SceneState(
+            hw=(h, w), intrinsic=intrinsic,
+            scene_bbox=np.array(
+                [[-cfg.scene_bound] * 3, [cfg.scene_bound] * 3], np.float32
+            ),
+            near_far=(0.5, 8.0), white_bg=cfg.white_bg,
+            poses_gen=vposes, poses_support=poses_sprt,
+            all_rays=rays_split.reshape(-1, 6),
+            all_rgbs=np.zeros((0, 3), np.float32),
+            all_depth=np.zeros((0,), np.float32),
+            rays_gen_split=rays_split,
+            rgbs_gen_split=np.zeros((0, h, w, 3), np.float32),
+            depth_gen_split=np.zeros((0, h, w), np.float32),
+            masks_gen_split=np.zeros((0, h, w), np.float32),
+            rays_support_split=rays_split,
+            render_path=vposes,
+        )
+
+    # ---- support set via warping (scene_gen.py:302-334) --------------------
+    if cfg.use_support_set:
+        rgbs_w, masks_w, depth_w = splat_ops.warp_one_to_many(
+            jnp.asarray(img), jnp.asarray(depth), jnp.asarray(poses_sprt[0]),
+            jnp.asarray(poses_sprt[1:]), intrinsic,
+        )
+        images = np.concatenate([img[None], np.asarray(rgbs_w)], 0)
+        masks = np.concatenate(
+            [np.ones((1, h, w), np.int32), np.asarray(masks_w)], 0
+        )
+        depths = np.concatenate([depth[None], np.asarray(depth_w)], 0)
+        pool = formatted_ray_pool(images, depths, masks, poses_sprt, intrinsic, h, w)
+    else:
+        pool = formatted_ray_pool(
+            img[None], depth[None], np.ones((1, h, w), np.int64),
+            poses_sprt[:1], intrinsic, h, w,
+        )
+    all_rays, all_rgbs, all_depth, rays_split, rgbs_split, depth_split = pool
+    rays_support_split = (
+        rays_split
+        if cfg.use_support_set
+        else test_ray_split(poses_sprt, intrinsic, h, w)
+    )
+
+    state = SceneState(
+        hw=(h, w), intrinsic=intrinsic,
+        scene_bbox=np.array(
+            [[-cfg.scene_bound] * 3, [cfg.scene_bound] * 3], np.float32
+        ),
+        near_far=(0.5, 8.0), white_bg=cfg.white_bg,
+        poses_gen=poses, poses_support=poses_sprt,
+        all_rays=all_rays, all_rgbs=all_rgbs, all_depth=all_depth,
+        rays_gen_split=test_ray_split(poses, intrinsic, h, w),
+        rgbs_gen_split=rgbs_split[:1],
+        depth_gen_split=depth_split[:1],
+        masks_gen_split=np.ones((1, h, w), np.float32),
+        rays_support_split=rays_support_split,
+    )
+    # seed view-0 pool (scene_gen.py:337-340)
+    state.updates["00000"] = (all_rays, all_rgbs, all_depth)
+    return state
+
+
+def append_generated_view(
+    state: SceneState, img: np.ndarray, depth: np.ndarray, inpaint_mask: np.ndarray
+) -> SceneState:
+    """Append a completed RGBD view to the generation splits
+    (text2nerf_main.py:296-299)."""
+    state = dataclasses.replace(
+        state,
+        rgbs_gen_split=np.concatenate(
+            [state.rgbs_gen_split, np.asarray(img, np.float32)[None]], 0
+        ),
+        depth_gen_split=np.concatenate(
+            [state.depth_gen_split, np.asarray(depth, np.float32)[None]], 0
+        ),
+        masks_gen_split=np.concatenate(
+            [state.masks_gen_split, np.asarray(inpaint_mask, np.float32)[None]], 0
+        ),
+        updates=dict(state.updates),
+    )
+    return state

@@ -1,0 +1,274 @@
+"""Progressive scene expansion: render → warp → inpaint → align → update.
+
+Functional re-design of render_warping_inapinting
+(/root/reference/text2nerf_main.py:68-401): each call takes the current
+field + scene state and returns new scene state with one more completed
+RGBD view and its support-set ray pools.  All geometry runs on-device
+(splatting, filtering); the generative priors come from the injected
+Services bundle; artifacts are written under ``<logdir>/DIBR/`` in the
+reference's layout for parity debugging.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..data import scene_state as ss
+from ..data import trajectories as traj
+from ..ops import filters as filter_ops
+from ..ops import render as render_ops
+from ..ops import splat as splat_ops
+from ..services.registry import Services
+
+
+def _write(path, arr):
+    import imageio.v2 as imageio
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    a = np.asarray(arr)
+    if a.dtype in (np.float32, np.float64):
+        if a.max() <= 1.5:
+            a = (np.clip(a, 0, 1) * 255).astype(np.uint8)
+        else:
+            a = np.clip(a, 0, 65535).astype(np.uint16)
+    imageio.imwrite(path, a)
+
+
+def global_depth_alignment(
+    depth_rendered, depth_est, known_mask, push_depth, max_samples=10000, seed=0
+):
+    """Global scale + shift between the monocular estimate and the rendered
+    depth, from sampled known pixels.
+
+    Vectorized equivalent of the pixel-pair loops at
+    text2nerf_main.py:232-270: consecutive sampled-pixel differences give
+    scale candidates, filtered by the |s-1| <= 5|thresh-1| and s >= 0 rules;
+    shifts filtered by |shift| <= 2|thresh|.
+    """
+    rng = np.random.default_rng(seed)
+    ys, xs = np.nonzero(np.asarray(known_mask) > 0)
+    if len(ys) == 0:
+        return 1.0, 0.0
+    n = min(len(ys), max_samples)
+    sel = rng.choice(len(ys), size=n, replace=False)
+    ys, xs = ys[sel], xs[sel]
+    dr = np.asarray(depth_rendered)[ys, xs]
+    de = np.asarray(depth_est)[ys, xs]
+
+    thresh_s = (np.asarray(depth_rendered).max() - push_depth) / (
+        np.asarray(depth_est).max() - push_depth + 1e-12
+    )
+    dd1 = dr[:-1] - dr[1:]
+    dd2 = de[:-1] - de[1:]
+    s = dd1 / (dd2 + 1e-8)
+    ok = np.isfinite(s) & (np.abs(s - 1) <= 5 * abs(thresh_s - 1)) & (s >= 0)
+    scale = float(s[ok].mean()) if ok.any() else float(thresh_s)
+
+    de_scaled = np.asarray(depth_est) * scale
+    thresh_t = de_scaled.max() - np.asarray(depth_rendered).max()
+    shifts = de_scaled[ys, xs] - dr
+    ok_t = np.abs(shifts) <= 2 * abs(thresh_t)
+    shift = float(shifts[ok_t].mean()) if ok_t.any() else float(thresh_t)
+    return scale, shift
+
+
+@dataclasses.dataclass
+class ExpansionConfig:
+    prompt: str
+    negative_prompt: str = "blurry, bad art, blurred, text, watermark"
+    push_depth: float = 2.0
+    trans_range: float = 0.2
+    use_support_set: bool = True
+    update_known_views: bool = False
+    use_filter_filling_holes: bool = True
+    use_rendered_img_to_warp: bool = True
+    frame_select_type: str = "auto_cos"  # auto_cos | first
+    n_candidates: int = 20               # text2nerf_main.py:191-193
+    candidates_per_round: int = 5
+    merge_iters: int = 500
+    merge_lr: float = 1e-5
+    chunk: int = 16384
+    app_k: int = 64
+
+
+def expand_scene(
+    view_idx: int,
+    cfg_model,
+    params,
+    scene: ss.SceneState,
+    services: Services,
+    expansion: ExpansionConfig,
+    logdir: str,
+    *,
+    n_samples: int,
+    white_bg: bool = False,
+    seed: int = 0,
+) -> ss.SceneState:
+    """Complete view ``view_idx`` of the trajectory and update the scene.
+
+    Mirrors render_warping_inapinting's default path (update_known_views
+    off, text2nerf_main.py:658).  Returns the updated SceneState (the new
+    view appended to gen splits + its support ray pool in .updates).
+    """
+    h, w = scene.hw
+    aabb = jnp.asarray(scene.scene_bbox)
+    dibr = os.path.join(logdir, "DIBR")
+    ex = expansion
+
+    # --- 1. render + filter the existing views (text2nerf_main.py:102-122)
+    rgbs_pre, depths_pre = [], []
+    for n in range(view_idx):
+        if ex.use_rendered_img_to_warp:
+            out = render_ops.render_chunked(
+                cfg_model, params, aabb, jnp.asarray(scene.rays_gen_split[n]),
+                n_samples=n_samples, chunk=ex.chunk, app_k=ex.app_k,
+                white_bg=white_bg,
+            )
+            rgb = np.asarray(jnp.clip(out.rgb, 0, 1)).reshape(h, w, 3)
+            depth = np.asarray(out.depth).reshape(h, w)
+            rgb_j, depth_j = filter_ops.sparse_bilateral_filtering(
+                depth, rgb, filter_size=(7, 5, 5, 3, 3),
+                depth_threshold=0.02, num_iter=5,
+            )
+            rgbs_pre.append(np.asarray(rgb_j))
+            depths_pre.append(np.asarray(depth_j))
+        else:
+            rgbs_pre.append(np.asarray(scene.rgbs_gen_split[n]))
+            depths_pre.append(np.asarray(scene.depth_gen_split[n]))
+
+    # --- 2. DIBR all views into the target (text2nerf_main.py:128-136)
+    my_map, warped_img, warped_depth = splat_ops.warp_many_to_one(
+        rgbs_pre, depths_pre, scene.poses_gen[:view_idx],
+        scene.poses_gen[view_idx], scene.intrinsic,
+    )
+    if ex.use_filter_filling_holes:
+        from .. import native
+
+        if native.available():
+            # exact sequential fill (dibr_filter_mask2 semantics)
+            warped_img, my_map_f, warped_depth = native.hole_fill2(
+                np.asarray(warped_img), np.asarray(my_map, np.float32),
+                np.asarray(warped_depth),
+            )
+        else:
+            warped_img_j, my_map_j, warped_depth_j = filter_ops.hole_fill(
+                warped_img, my_map.astype(jnp.float32), warped_depth
+            )
+            warped_img = np.asarray(warped_img_j)
+            my_map_f = np.asarray(my_map_j)
+            warped_depth = np.asarray(warped_depth_j)
+    else:
+        my_map_f = np.asarray(my_map).astype(np.float32)
+        warped_img = np.asarray(warped_img)
+        warped_depth = np.asarray(warped_depth)
+
+    _write(os.path.join(dibr, "warped", "%05d.png" % view_idx), warped_img)
+    _write(os.path.join(dibr, "mask", "%05d.png" % view_idx), my_map_f)
+    _write(os.path.join(dibr, "mask_inv", "%05d.png" % view_idx), 1 - my_map_f)
+
+    # --- 3. render the target view (text2nerf_main.py:164-178)
+    out = render_ops.render_chunked(
+        cfg_model, params, aabb, jnp.asarray(scene.rays_gen_split[view_idx]),
+        n_samples=n_samples, chunk=ex.chunk, app_k=ex.app_k, white_bg=white_bg,
+    )
+    rgb_render = np.asarray(jnp.clip(out.rgb, 0, 1)).reshape(h, w, 3)
+    depth_rendered = np.asarray(out.depth).reshape(h, w) * my_map_f
+    _write(os.path.join(dibr, "rendered", "%05d_ori.png" % view_idx), rgb_render)
+
+    # --- 4. diffusion inpainting + candidate ranking
+    #        (text2nerf_main.py:186-220)
+    mask_inv = 1.0 - my_map_f
+    if ex.frame_select_type == "auto_cos":
+        candidates = []
+        rounds = max(1, ex.n_candidates // ex.candidates_per_round)
+        for r in range(rounds):
+            candidates += list(
+                services.inpaint(
+                    rgb_render, mask_inv, prompt=ex.prompt,
+                    negative_prompt=ex.negative_prompt,
+                    num_images=ex.candidates_per_round, seed=seed * 100 + r,
+                )
+            )
+        ref = scene.rgbs_gen_split[0]
+        scores = services.rank(candidates, ref)
+        img_new = np.asarray(candidates[int(np.argmax(scores))], np.float32)
+        for i, cand in enumerate(candidates):
+            _write(os.path.join(dibr, "rgbs", "%05d_%03d.png" % (view_idx, i)), cand)
+    else:
+        img_new = np.asarray(
+            services.inpaint(
+                rgb_render, mask_inv, prompt=ex.prompt,
+                negative_prompt=ex.negative_prompt, num_images=1, seed=seed,
+            )[0],
+            np.float32,
+        )
+    _write(os.path.join(dibr, "rgbs", "%05d.png" % view_idx), img_new)
+
+    # --- 5. monocular depth + global alignment (text2nerf_main.py:222-270)
+    counts = np.asarray(services.estimate_depth(img_new))
+    depth_est = counts / 12000.0 + ex.push_depth
+    scale, shift = global_depth_alignment(
+        depth_rendered, depth_est, my_map_f, ex.push_depth, seed=seed
+    )
+    depth_shift = depth_est * scale - shift
+
+    # --- 6. local alignment: test-time finetuned merge net
+    #        (text2nerf_main.py:272-283)
+    depth_ref = ((depth_rendered - ex.push_depth) * 12000.0 / 32768.0 - 1.0) * my_map_f
+    depth_src = (depth_shift - ex.push_depth) * 12000.0 / 32768.0 - 1.0
+    merged = services.merge.run_finetune(
+        depth_ref.astype(np.float32), depth_src.astype(np.float32),
+        my_map_f.copy(), outsize=max(h, w), lr=ex.merge_lr, iters=ex.merge_iters,
+    )
+    depth_new = ((np.asarray(merged) + 1.0) * 32768.0) / 12000.0 + ex.push_depth
+    depth_new = depth_new.astype(np.float32)
+    _write(
+        os.path.join(dibr, "depth", "%05d_depth_finetuning2.png" % view_idx),
+        (np.asarray(merged) + 1.0) * 32768.0,
+    )
+
+    # --- 7. filter the completed view (text2nerf_main.py:287-291)
+    img_j, depth_j = filter_ops.sparse_bilateral_filtering(
+        depth_new, img_new, filter_size=(5, 5, 3, 3),
+        depth_threshold=0.02, num_iter=4,
+    )
+    img_new, depth_new = np.asarray(img_j), np.asarray(depth_j)
+    _write(os.path.join(dibr, "depth", "%05d_new.png" % view_idx), depth_new * 12000)
+
+    # --- 8. append + support pools (text2nerf_main.py:296-299, 379-399)
+    inpaint_mask = 1.0 - my_map_f
+    scene = ss.append_generated_view(scene, img_new, depth_new, inpaint_mask)
+
+    if ex.use_support_set:
+        poses_support = traj.local_fixed_poses(
+            scene.poses_gen[view_idx], angle=0, range_center=ex.trans_range,
+            range_yaw=0.6, range_pitch=0.2,
+        )
+        rgbs_w, _, depth_w = splat_ops.warp_one_to_many(
+            jnp.asarray(img_new), jnp.asarray(depth_new),
+            jnp.asarray(poses_support[0]), jnp.asarray(poses_support[1:]),
+            scene.intrinsic,
+        )
+        _, masks_w, _ = splat_ops.warp_one_to_many(
+            jnp.asarray(img_new), jnp.asarray(depth_new),
+            jnp.asarray(poses_support[0]), jnp.asarray(poses_support[1:]),
+            scene.intrinsic, mask=jnp.asarray(inpaint_mask),
+        )
+        images = np.concatenate([img_new[None], np.asarray(rgbs_w)], 0)
+        masks = np.concatenate([inpaint_mask[None], np.asarray(masks_w)], 0)
+        depths = np.concatenate([depth_new[None], np.asarray(depth_w)], 0)
+        rays_p, rgbs_p, depths_p, _, _, _ = ss.formatted_ray_pool(
+            images, depths, masks, poses_support, scene.intrinsic, h, w
+        )
+    else:
+        rays_p, rgbs_p, depths_p, _, _, _ = ss.formatted_ray_pool(
+            img_new[None], depth_new[None], inpaint_mask[None],
+            scene.poses_gen[view_idx][None], scene.intrinsic, h, w,
+        )
+    scene.updates["%05d" % view_idx] = (rays_p, rgbs_p, depths_p)
+    return scene

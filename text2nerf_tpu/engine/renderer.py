@@ -1,0 +1,169 @@
+"""Image / video evaluation over trained fields.
+
+Equivalent of the reference evaluation loops
+(/root/reference/renderer.py:45-197): render views, compute PSNR/SSIM/LPIPS
+against ground truth where available, write images and mp4 videos.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops import rays as ray_ops
+from ..ops import render as render_ops
+from . import metrics as M
+
+
+def write_video(path: str, frames, fps: int = 30, quality: int = 9):
+    """mp4 via imageio-ffmpeg when available, else animated GIF
+    (air-gapped pods ship no ffmpeg)."""
+    import imageio.v2 as imageio
+    import numpy as np
+
+    try:
+        imageio.mimwrite(path, np.stack(frames), fps=fps, quality=quality)
+        return path
+    except Exception:
+        gif = os.path.splitext(path)[0] + ".gif"
+        imageio.mimwrite(gif, np.stack(frames), duration=1000.0 / fps)
+        return gif
+
+
+def render_view(
+    cfg, params, aabb, rays, hw, *, n_samples, chunk=16384, app_k=64,
+    white_bg=True, ndc=False, alpha_mask=None,
+):
+    """Render one view; returns (rgb (H,W,3), depth (H,W)) numpy arrays."""
+    h, w = hw
+    out = render_ops.render_chunked(
+        cfg, params, aabb, jnp.asarray(rays), n_samples=n_samples, chunk=chunk,
+        app_k=app_k, white_bg=white_bg, ndc=ndc, alpha_mask=alpha_mask,
+    )
+    rgb = np.asarray(jnp.clip(out.rgb, 0.0, 1.0)).reshape(h, w, 3)
+    depth = np.asarray(out.depth).reshape(h, w)
+    return rgb, depth
+
+
+def evaluation(
+    cfg,
+    params,
+    aabb,
+    rays_split,
+    hw,
+    *,
+    n_samples,
+    gt_rgbs=None,
+    save_path: Optional[str] = None,
+    prefix: str = "",
+    chunk: int = 16384,
+    app_k: int = 64,
+    white_bg: bool = True,
+    ndc: bool = False,
+    compute_extra_metrics: bool = False,
+    video: bool = False,
+    push_depth: float = 2.0,
+    near_far=(0.5, 8.0),
+    lpips_weights_dir=None,
+):
+    """Render a stack of views; compute metrics; optionally save pngs/mp4.
+
+    Mirrors evaluation (renderer.py:45-140) including the depth
+    visualization shift ``depth - push_depth + 0.8`` (renderer.py:94).
+
+    Returns dict with 'psnr' list (+ 'ssim'/'lpips' if requested) and the
+    rendered stacks.
+    """
+    psnrs, ssims, lpips_a = [], [], []
+    rgb_maps, depth_maps = [], []
+    if save_path:
+        os.makedirs(os.path.join(save_path, "rgbs"), exist_ok=True)
+        os.makedirs(os.path.join(save_path, "depths"), exist_ok=True)
+
+    for idx in range(np.asarray(rays_split).shape[0]):
+        rgb, depth = render_view(
+            cfg, params, aabb, rays_split[idx], hw, n_samples=n_samples,
+            chunk=chunk, app_k=app_k, white_bg=white_bg, ndc=ndc,
+        )
+        depth_vis_in = np.maximum(depth - push_depth + 0.8, 0)
+        depth_vis, _ = M.visualize_depth(depth_vis_in, near_far)
+
+        if gt_rgbs is not None:
+            gt = np.asarray(gt_rgbs[idx]).reshape(hw[0], hw[1], 3)
+            psnrs.append(M.psnr(rgb, gt))
+            if compute_extra_metrics:
+                ssims.append(M.ssim(rgb, gt, 1.0))
+                try:
+                    lpips_a.append(M.lpips(gt, rgb, "alex", lpips_weights_dir))
+                except Exception:
+                    pass
+
+        rgb_maps.append((rgb * 255).astype(np.uint8))
+        depth_maps.append(depth_vis)
+        if save_path:
+            import imageio.v2 as imageio
+
+            imageio.imwrite(
+                os.path.join(save_path, "rgbs", f"{prefix}{idx:03d}_rgb.png"),
+                rgb_maps[-1],
+            )
+            imageio.imwrite(
+                os.path.join(save_path, "depths", f"{prefix}{idx:03d}_depth.png"),
+                depth_vis,
+            )
+
+    if video and save_path:
+        write_video(os.path.join(save_path, f"{prefix}video.mp4"), rgb_maps)
+        write_video(
+            os.path.join(save_path, f"{prefix}depthvideo.mp4"), depth_maps
+        )
+
+    out = {"psnr": psnrs, "rgb": rgb_maps, "depth": depth_maps}
+    if ssims:
+        out["ssim"] = ssims
+    if lpips_a:
+        out["lpips_alex"] = lpips_a
+    return out
+
+
+def evaluation_path(
+    cfg, params, aabb, c2ws, hw, intrinsic, *, n_samples, save_path=None,
+    chunk: int = 8192, app_k: int = 64, white_bg: bool = False, ndc: bool = False,
+    near_far=(0.5, 8.0),
+):
+    """Render along a camera path, regenerating rays per pose
+    (evaluation_path, renderer.py:142-197)."""
+    h, w = hw
+    fx, fy, cx, cy = intrinsic
+    dirs = ray_ops.ray_directions(h, w, (fx, fy), (cx, cy))
+    rgb_maps, depth_maps = [], []
+    for idx, c2w in enumerate(np.asarray(c2ws)):
+        o, d = ray_ops.rays_from_pose(dirs, jnp.asarray(c2w, jnp.float32))
+        rays = jnp.concatenate([o, d], -1)
+        rgb, depth = render_view(
+            cfg, params, aabb, rays, hw, n_samples=n_samples, chunk=chunk,
+            app_k=app_k, white_bg=white_bg, ndc=ndc,
+        )
+        depth_vis, _ = M.visualize_depth(depth, near_far)
+        rgb_maps.append((rgb * 255).astype(np.uint8))
+        depth_maps.append(depth_vis)
+        if save_path:
+            import imageio.v2 as imageio
+
+            os.makedirs(os.path.join(save_path, "rgbd"), exist_ok=True)
+            imageio.imwrite(
+                os.path.join(save_path, f"{idx:03d}.png"), rgb_maps[-1]
+            )
+            imageio.imwrite(
+                os.path.join(save_path, "rgbd", f"{idx:03d}.png"),
+                np.concatenate([rgb_maps[-1], depth_vis], axis=1),
+            )
+    if save_path:
+        write_video(os.path.join(save_path, "video.mp4"), rgb_maps, quality=8)
+        write_video(
+            os.path.join(save_path, "depthvideo.mp4"), depth_maps, quality=8
+        )
+    return rgb_maps, depth_maps

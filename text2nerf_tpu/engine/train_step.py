@@ -87,13 +87,14 @@ def make_train_step(
 ):
     """Build the jitted train step.
 
-    ``tv_factor`` is the per-step decay applied to the TV weights (the
-    reference multiplies them by lr_factor each iteration,
-    text2nerf_main.py:577-584), applied here as tv_w * tv_factor**step so
-    the step stays stateless.
+    The TV weights decay multiplicatively every iteration and are NOT reset
+    at stage boundaries (text2nerf_main.py:577-584): callers pass the
+    accumulated decay via ``tv_decay`` to train_step; the ``tv_factor``
+    default provides the stateless tv_factor**step fallback when callers
+    pass tv_decay=None.
     """
 
-    def loss_fn(params, aabb, batch, rng, step):
+    def loss_fn(params, aabb, batch, rng, step, tv_decay):
         out = render_ops.render_rays(
             cfg,
             params,
@@ -118,7 +119,9 @@ def make_train_step(
             + weights.depth * loss_depth
             + weights.transmittance * loss_trans
         )
-        decay = tv_factor ** step.astype(jnp.float32)
+        decay = (
+            tv_factor ** step.astype(jnp.float32) if tv_decay is None else tv_decay
+        )
         metrics = {
             "mse": loss_rgb,
             "psnr": L.mse2psnr(loss_rgb),
@@ -139,14 +142,20 @@ def make_train_step(
             total = total + weights.ortho * tf.vector_comp_diffs(cfg, params)
         return total, metrics
 
-    @jax.jit
-    def train_step(state: TrainState, aabb, batch, rng):
+    @functools.partial(jax.jit, static_argnames=("has_tv_decay",))
+    def _step(state: TrainState, aabb, batch, rng, tv_decay, has_tv_decay):
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, aabb, batch, rng, state.step
+            state.params, aabb, batch, rng, state.step,
+            tv_decay if has_tv_decay else None,
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), metrics
+
+    def train_step(state, aabb, batch, rng, tv_decay=None):
+        if tv_decay is None:
+            return _step(state, aabb, batch, rng, jnp.float32(1.0), False)
+        return _step(state, aabb, batch, rng, jnp.float32(tv_decay), True)
 
     return train_step
 

@@ -1,0 +1,332 @@
+"""Progressive 3-stage training orchestrator + render-only entry.
+
+Functional re-design of reconstruction / render_test
+(/root/reference/text2nerf_main.py:405-649, :29-65):
+
+- stage 1: fit the seed view's support set for ``n_stage1`` epochs;
+- stage 2: for each trajectory view, expand the scene (engine/expansion),
+  reset the optimizer + LR schedule, then train ``n_stage2`` epochs with
+  the 4:1 new-view / replay sampling rule (text2nerf_main.py:550-555);
+- stage 3: 10 epochs over the full accumulated ray pool.
+
+The TensoRF field lives as an immutable params pytree; optimizer resets are
+a TrainState rebuild; scene growth is SceneState replacement.  TensorBoard
+scalars are mirrored by a JSONL metrics log (engine/tracing).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..data import scene_state as ss
+from ..models import tensorf as tf
+from ..ops import render as render_ops
+from ..services.registry import Services, default_services
+from . import checkpoints as ckpt
+from . import expansion as exp
+from . import renderer as eval_renderer
+from . import train_step as ts
+from .tracing import MetricsLogger, phase_timer
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    """The training-schedule flags of e_opt.py (defaults follow
+    configs/text2nerf_scenes.txt + the __main__ overrides at
+    text2nerf_main.py:657-665)."""
+
+    expname: str = "exp"
+    basedir: str = "./log"
+    n_stage1: int = 50
+    n_stage2: int = 50
+    batch_size: int = 16384
+    lr_init: float = 0.02
+    lr_basis: float = 1e-3
+    lr_decay_iters: int = -1
+    lr_decay_target_ratio: float = 0.1
+    tv_weight_density: float = 0.1
+    tv_weight_app: float = 0.01
+    n_voxel_init: int = 27_000_000
+    n_samples_cap: int = 10 ** 6
+    app_k: int = 64
+    ndc_ray: bool = False
+    eval_every_epochs: int = 50
+    ckpt: Optional[str] = None
+    render_test: bool = False
+    render_path: bool = False
+    seed: int = 1024
+    model: tf.TensoRFConfig = dataclasses.field(default_factory=tf.TensoRFConfig)
+
+
+def _epoch_iters(n_rays: int, batch: int) -> int:
+    return n_rays // batch + int(n_rays % batch > 0)
+
+
+def _batch_from_pool(pool, ids):
+    rays, rgbs, depths = pool
+    return {
+        "rays": jnp.asarray(rays[ids]),
+        "rgb": jnp.asarray(rgbs[ids]),
+        "depth": jnp.asarray(depths[ids]),
+    }
+
+
+def init_field(cfg: TrainConfig, scene: ss.SceneState, rng_key=None):
+    """Model init or checkpoint warm-start (text2nerf_main.py:442-452)."""
+    if cfg.ckpt and os.path.exists(cfg.ckpt):
+        mcfg, params, aabb, alpha_mask, _ = ckpt.load_checkpoint(cfg.ckpt)
+        return mcfg, params, aabb, alpha_mask
+    aabb = jnp.asarray(scene.scene_bbox)
+    reso = tf.n_to_reso(cfg.n_voxel_init, aabb)
+    params = tf.init_params(
+        rng_key if rng_key is not None else jax.random.PRNGKey(cfg.seed),
+        cfg.model, reso,
+    )
+    return cfg.model, params, aabb, None
+
+
+def reconstruction(
+    cfg: TrainConfig,
+    scene_cfg: ss.SceneConfig,
+    services: Optional[Services] = None,
+    expansion_cfg: Optional[exp.ExpansionConfig] = None,
+):
+    """Full progressive training (reconstruction, text2nerf_main.py:405-649).
+
+    Returns (model_cfg, params, aabb, scene, logfolder).
+    """
+    services = services or default_services(hw=scene_cfg.hw)
+    expansion_cfg = expansion_cfg or exp.ExpansionConfig(
+        prompt=scene_cfg.prompt, push_depth=scene_cfg.push_depth,
+        trans_range=scene_cfg.trans_range,
+    )
+    logfolder = os.path.join(
+        cfg.basedir,
+        f"{cfg.expname}_{scene_cfg.prompt.replace(' ', '_')}"
+        f"_{scene_cfg.angle}_{scene_cfg.trans_range}",
+    )
+    os.makedirs(logfolder, exist_ok=True)
+    log = MetricsLogger(os.path.join(logfolder, "metrics.jsonl"))
+    with open(os.path.join(logfolder, "args.txt"), "w") as f:
+        for k, v in {**dataclasses.asdict(cfg), **dataclasses.asdict(scene_cfg)}.items():
+            f.write(f"{k}:{v}\n")
+
+    with phase_timer("bootstrap", log):
+        scene = ss.bootstrap_scene(
+            scene_cfg, "train",
+            text2img=services.text2img, estimate_depth=services.estimate_depth,
+        )
+    white_bg = scene.white_bg
+    mcfg, params, aabb, _ = init_field(cfg, scene)
+    reso = tf.grid_resolution(mcfg, params)
+    n_samples = tf.default_n_samples(reso, mcfg.step_ratio, cfg.n_samples_cap)
+
+    # ray filtering (text2nerf_main.py:476-477)
+    if not cfg.ndc_ray:
+        keep = np.asarray(
+            render_ops.filter_rays_bbox(aabb, jnp.asarray(scene.all_rays))
+        )
+        pool_pre = (
+            scene.all_rays[keep], scene.all_rgbs[keep], scene.all_depth[keep]
+        )
+    else:
+        pool_pre = (scene.all_rays, scene.all_rgbs, scene.all_depth)
+
+    sampler_pre = ts.PermutationSampler(len(pool_pre[0]), cfg.batch_size, cfg.seed)
+    n_iters_epoch1 = _epoch_iters(len(pool_pre[0]), cfg.batch_size)
+    n_iters_stage1 = cfg.n_stage1 * n_iters_epoch1
+    decay_iters = (
+        cfg.lr_decay_iters if cfg.lr_decay_iters > 0
+        else (n_iters_stage1 if n_iters_stage1 > 0 else 1000)
+    )
+    factor = ts.lr_factor(cfg.lr_decay_target_ratio, decay_iters)
+
+    weights = ts.LossWeights(
+        tv_density=cfg.tv_weight_density, tv_app=cfg.tv_weight_app
+    )
+    state, tx = ts.make_train_state(params, cfg.lr_init, cfg.lr_basis, factor)
+    step_fn = ts.make_train_step(
+        mcfg, tx, n_samples=n_samples, app_k=cfg.app_k,
+        white_bg=white_bg, ndc=cfg.ndc_ray, weights=weights,
+    )
+
+    n_views = scene.poses_gen.shape[0]
+    n_epoch_stage2 = cfg.n_stage2 * (n_views - 1)
+    n_total = cfg.n_stage1 + n_epoch_stage2
+
+    key = jax.random.PRNGKey(cfg.seed)
+    tv_decay = 1.0
+    view_idx = 0
+    pool_new = None
+    sampler_new = None
+    n_iters_epoch = n_iters_epoch1
+    global_step = 0
+
+    for epoch in range(n_total + 10):
+        # --- stage-boundary: expand the scene ------------------------------
+        if (
+            epoch >= cfg.n_stage1
+            and (epoch - cfg.n_stage1) % cfg.n_stage2 == 0
+            and epoch < n_total
+        ):
+            view_idx = (epoch - cfg.n_stage1) // cfg.n_stage2 + 1
+            with phase_timer(f"expand_view_{view_idx}", log):
+                scene = exp.expand_scene(
+                    view_idx, mcfg, state.params, scene, services,
+                    expansion_cfg, logfolder,
+                    n_samples=n_samples, white_bg=white_bg, seed=cfg.seed + view_idx,
+                )
+            # replay pool = all previous views' pools (text2nerf_main.py:509-517)
+            prev = [scene.updates["%05d" % nn] for nn in range(view_idx)]
+            pool_pre = tuple(np.concatenate(x, 0) for x in zip(*prev))
+            sampler_pre = ts.PermutationSampler(
+                len(pool_pre[0]), cfg.batch_size, cfg.seed + epoch
+            )
+            pool_new = scene.updates["%05d" % view_idx]
+            sampler_new = (
+                ts.PermutationSampler(
+                    len(pool_new[0]), cfg.batch_size, cfg.seed + epoch + 1
+                )
+                if len(pool_new[0]) > 0
+                else None
+            )
+            n_iters_epoch = (
+                _epoch_iters(len(pool_new[0]), cfg.batch_size) + n_iters_epoch1
+            )
+            # optimizer + schedule reset (text2nerf_main.py:523-528)
+            decay_iters = n_iters_epoch * cfg.n_stage2
+            factor = ts.lr_factor(cfg.lr_decay_target_ratio, decay_iters)
+            state, tx = ts.make_train_state(
+                state.params, cfg.lr_init, cfg.lr_basis, factor
+            )
+            step_fn = ts.make_train_step(
+                mcfg, tx, n_samples=n_samples, app_k=cfg.app_k,
+                white_bg=white_bg, ndc=cfg.ndc_ray, weights=weights,
+            )
+        elif epoch == n_total and pool_new is not None:
+            # stage 3: fold the last view's pool in (text2nerf_main.py:529-536)
+            pool_pre = tuple(
+                np.concatenate([a, b], 0) for a, b in zip(pool_pre, pool_new)
+            )
+            sampler_pre = ts.PermutationSampler(
+                len(pool_pre[0]), cfg.batch_size, cfg.seed + epoch
+            )
+            pool_new = None
+            n_iters_epoch = _epoch_iters(len(pool_pre[0]), cfg.batch_size)
+            decay_iters = n_iters_epoch * 10
+            factor = ts.lr_factor(cfg.lr_decay_target_ratio, decay_iters)
+            state, tx = ts.make_train_state(
+                state.params, cfg.lr_init, cfg.lr_basis, factor
+            )
+            step_fn = ts.make_train_step(
+                mcfg, tx, n_samples=n_samples, app_k=cfg.app_k,
+                white_bg=white_bg, ndc=cfg.ndc_ray, weights=weights,
+            )
+
+        # --- epoch ----------------------------------------------------------
+        for it in range(n_iters_epoch):
+            use_replay = (
+                view_idx == 0 or it % 5 == 0 or epoch >= n_total
+                or sampler_new is None
+            )
+            if use_replay:
+                ids = sampler_pre.next_ids()
+                batch = _batch_from_pool(pool_pre, ids)
+            else:
+                ids = sampler_new.next_ids()
+                batch = _batch_from_pool(pool_new, ids)
+            key, k = jax.random.split(key)
+            state, metrics = step_fn(state, aabb, batch, k, tv_decay)
+            tv_decay *= factor
+            global_step += 1
+            if global_step % 50 == 0:
+                log.scalars(
+                    global_step,
+                    {m: float(metrics[m]) for m in ("psnr", "mse", "depth_loss")},
+                )
+
+        # --- periodic eval (text2nerf_main.py:618-625) -----------------------
+        boundary = (
+            (epoch + 1) % cfg.eval_every_epochs == 0
+            or (epoch + 1 - cfg.n_stage1) % cfg.n_stage2 == 0
+            or epoch + 1 == cfg.n_stage1
+        )
+        if boundary and scene.rgbs_gen_split.shape[0] > 0:
+            res = eval_renderer.evaluation(
+                mcfg, state.params, aabb,
+                scene.rays_gen_split[: scene.rgbs_gen_split.shape[0]],
+                scene.hw, n_samples=n_samples,
+                gt_rgbs=scene.rgbs_gen_split,
+                save_path=os.path.join(logfolder, "imgs_vis_inpaint_view"),
+                prefix=f"epoch{epoch + 1:04d}_", chunk=cfg.batch_size,
+                app_k=cfg.app_k, white_bg=white_bg, ndc=cfg.ndc_ray,
+                push_depth=scene_cfg.push_depth, near_far=scene.near_far,
+            )
+            if res["psnr"]:
+                log.scalars(global_step, {"eval_psnr": float(np.mean(res["psnr"]))})
+
+    ckpt.save_checkpoint(
+        os.path.join(logfolder, f"{cfg.expname}_final.npz"),
+        mcfg, state.params, aabb,
+        loop_state={"view_idx": view_idx, "global_step": global_step},
+    )
+
+    if cfg.render_test or cfg.render_path:
+        test_scene = ss.bootstrap_scene(
+            scene_cfg, "test",
+            text2img=services.text2img, estimate_depth=services.estimate_depth,
+        )
+        if cfg.render_test:
+            eval_renderer.evaluation(
+                mcfg, state.params, aabb, test_scene.rays_gen_split,
+                scene.hw, n_samples=n_samples,
+                save_path=os.path.join(logfolder, "imgs_test_all"),
+                chunk=cfg.batch_size, app_k=cfg.app_k, white_bg=white_bg,
+                ndc=cfg.ndc_ray, video=True,
+                push_depth=scene_cfg.push_depth, near_far=scene.near_far,
+            )
+        if cfg.render_path:
+            eval_renderer.evaluation_path(
+                mcfg, state.params, aabb, test_scene.render_path, scene.hw,
+                scene.intrinsic, n_samples=n_samples,
+                save_path=os.path.join(logfolder, "imgs_path_all"),
+                white_bg=white_bg, ndc=cfg.ndc_ray, near_far=scene.near_far,
+            )
+
+    return mcfg, state.params, aabb, scene, logfolder
+
+
+def render_test(cfg: TrainConfig, scene_cfg: ss.SceneConfig):
+    """Render-only entry from a checkpoint (render_test,
+    text2nerf_main.py:29-65)."""
+    assert cfg.ckpt and os.path.exists(cfg.ckpt), "checkpoint required"
+    mcfg, params, aabb, alpha_mask, _ = ckpt.load_checkpoint(cfg.ckpt)
+    scene = ss.bootstrap_scene(scene_cfg, "test")
+    reso = tf.grid_resolution(mcfg, params)
+    n_samples = tf.default_n_samples(reso, mcfg.step_ratio, cfg.n_samples_cap)
+    logfolder = os.path.dirname(cfg.ckpt)
+    out = {}
+    if cfg.render_test:
+        out["test"] = eval_renderer.evaluation(
+            mcfg, params, aabb, scene.rays_gen_split, scene.hw,
+            n_samples=n_samples,
+            save_path=os.path.join(logfolder, "imgs_test_all"),
+            chunk=cfg.batch_size, app_k=cfg.app_k, white_bg=scene.white_bg,
+            ndc=cfg.ndc_ray, video=True, push_depth=scene_cfg.push_depth,
+            near_far=scene.near_far,
+        )
+    if cfg.render_path:
+        out["path"] = eval_renderer.evaluation_path(
+            mcfg, params, aabb, scene.render_path, scene.hw, scene.intrinsic,
+            n_samples=n_samples,
+            save_path=os.path.join(logfolder, "imgs_path_all"),
+            white_bg=scene.white_bg, ndc=cfg.ndc_ray, near_far=scene.near_far,
+        )
+    return out

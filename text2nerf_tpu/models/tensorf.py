@@ -73,6 +73,10 @@ class TensoRFConfig:
 
     @staticmethod
     def from_dict(d):
+        d = dict(d)
+        for k in ("density_n_comp", "app_n_comp"):
+            if k in d:
+                d[k] = tuple(d[k])
         return TensoRFConfig(**d)
 
 

@@ -1,0 +1,112 @@
+"""Native host kernels (C++ via ctypes), built on first use.
+
+See host_ops.cpp for what lives here and why (order-dependent raster-scan
+fills that XLA's synchronous passes can only approximate).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_HERE, "libhost_ops.so")
+_SRC = os.path.join(_HERE, "host_ops.cpp")
+_LIB = None
+
+
+def _build():
+    subprocess.run(
+        ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC],
+        check=True, capture_output=True,
+    )
+
+
+def load() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library; None if unavailable."""
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    try:
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            _build()
+        lib = ctypes.CDLL(_SO)
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        lib.dibr_hole_fill2.argtypes = [
+            f32p, f32p, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_float,
+        ]
+        lib.dibr_hole_fill1.argtypes = [
+            f32p, f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_float,
+        ]
+        lib.zbuffer_point_splat.argtypes = [
+            i16p, i16p, f32p, f32p, f32p, ctypes.c_void_p, u8p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
+        _LIB = lib
+    except Exception:
+        _LIB = None
+    return _LIB
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def hole_fill2(image, mask, depth=None, threshold: float = 0.65):
+    """Exact sequential dibr_filter_mask2 (utils.py:394-409).
+
+    Returns (image, mask[, depth]) — copies; inputs untouched.
+    """
+    lib = load()
+    assert lib is not None, "native library unavailable"
+    img = np.ascontiguousarray(np.asarray(image, np.float32)).copy()
+    m = np.ascontiguousarray(np.asarray(mask, np.float32)).copy()
+    h, w, c = img.shape
+    if depth is not None:
+        d = np.ascontiguousarray(np.asarray(depth, np.float32)).copy()
+        lib.dibr_hole_fill2(
+            img, m, d.ctypes.data_as(ctypes.c_void_p), h, w, c,
+            ctypes.c_float(threshold),
+        )
+        return img, m, d
+    lib.dibr_hole_fill2(img, m, None, h, w, c, ctypes.c_float(threshold))
+    return img, m
+
+
+def hole_fill1(image, mask, fill_value: float = 255.0):
+    """Exact sequential dibr_filter_mask (utils.py:345-391)."""
+    lib = load()
+    assert lib is not None, "native library unavailable"
+    img = np.ascontiguousarray(np.asarray(image, np.float32)).copy()
+    m = np.ascontiguousarray(np.asarray(mask, np.float32)).copy()
+    h, w, c = img.shape
+    lib.dibr_hole_fill1(img, m, h, w, c, ctypes.c_float(fill_value))
+    return img, m
+
+
+def zbuffer_splat(xs, ys, zs, src):
+    """First-writer-wins point splat (the legacy warp path of
+    utils.py:199-213).  Returns (out (H,W,C), points_z (H,W), mask (H,W))."""
+    lib = load()
+    assert lib is not None, "native library unavailable"
+    xs = np.ascontiguousarray(np.asarray(xs, np.int16))
+    ys = np.ascontiguousarray(np.asarray(ys, np.int16))
+    zs = np.ascontiguousarray(np.asarray(zs, np.float32))
+    src = np.ascontiguousarray(np.asarray(src, np.float32))
+    h, w = zs.shape
+    c = src.shape[-1]
+    out = np.ones((h, w, c), np.float32)
+    points = np.zeros((h, w), np.float32)
+    mask = np.zeros((h, w), np.uint8)
+    lib.zbuffer_point_splat(
+        xs, ys, zs, src, out,
+        points.ctypes.data_as(ctypes.c_void_p), mask, h, w, c,
+    )
+    return out, points, mask

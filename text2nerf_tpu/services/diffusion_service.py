@@ -1,0 +1,206 @@
+"""Stable-Diffusion text2img + inpainting pipelines (Flax, jitted).
+
+TPU re-design of the reference wrappers
+(/root/reference/scripts/text2img_sdm.py:7-30 and
+/root/reference/scripts/inpaint_sdm.py:48-74): the whole denoise loop is one
+jit region (lax.fori_loop over Euler steps with classifier-free guidance at
+scale 7.5), the candidate batch (num_images_per_prompt=5,
+inpaint_sdm.py:71-74) is a leading batch dimension that shards over the
+device mesh's data axis, and the VAE decode runs in the same program.
+
+Weights load from a converted checkpoint directory (see weight_convert.py);
+the registry falls back to procedural services when absent.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import diffusion as D
+from ..models import clip as C
+
+
+class DiffusionPipeline:
+    """Shared machinery for text2img and inpainting."""
+
+    def __init__(
+        self,
+        weights_path: str,
+        inpaint: bool = False,
+        hw=(512, 512),
+        dtype=jnp.bfloat16,
+        num_steps: int = 25,
+        tiny: bool = False,
+    ):
+        self.hw = hw
+        self.inpaint = inpaint
+        self.num_steps = num_steps
+        if tiny:
+            self.unet_cfg = D.UNetConfig.tiny()
+            if inpaint:
+                self.unet_cfg = D.UNetConfig.tiny()
+                self.unet_cfg = D.UNetConfig(
+                    in_channels=9, block_channels=(32, 64), layers_per_block=1,
+                    cross_attention_dim=32, head_dim=16, attn_blocks=(True, False),
+                )
+            else:
+                self.unet_cfg = D.UNetConfig(
+                    in_channels=4, block_channels=(32, 64), layers_per_block=1,
+                    cross_attention_dim=32, head_dim=16, attn_blocks=(True, False),
+                )
+            self.vae_cfg = D.VAEConfig.tiny()
+            self.text_cfg = C.CLIPTextConfig.tiny()
+        else:
+            self.unet_cfg = (
+                D.UNetConfig.sd2_inpaint() if inpaint else D.UNetConfig.sd21_base()
+            )
+            self.vae_cfg = D.VAEConfig()
+            self.text_cfg = C.CLIPTextConfig.sd2_text()
+
+        self.unet = D.UNet(self.unet_cfg, dtype=dtype)
+        self.vae_dec = D.VAEDecoder(self.vae_cfg, dtype=dtype)
+        self.vae_enc = D.VAEEncoder(self.vae_cfg, dtype=dtype)
+        self.text = C.CLIPTextEncoder(self.text_cfg, dtype=dtype)
+        self.params = self._load_or_init(weights_path)
+        self._sample_jit = None
+
+    # -- params ---------------------------------------------------------------
+
+    def _load_or_init(self, weights_path: str):
+        from .weight_convert import load_converted
+
+        converted = load_converted(weights_path) if weights_path else None
+        if converted is not None:
+            return converted
+        key = jax.random.PRNGKey(0)
+        h, w = self.hw
+        lat = (1, h // 8, w // 8, self.unet_cfg.in_channels)
+        ctx = (1, self.text_cfg.context_length, self.unet_cfg.cross_attention_dim)
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        return {
+            "unet": self.unet.init(
+                k1, jnp.zeros(lat), jnp.zeros((1,)), jnp.zeros(ctx)
+            )["params"],
+            "vae_decoder": self.vae_dec.init(
+                k2, jnp.zeros((1, h // 8, w // 8, self.vae_cfg.latent_channels))
+            )["params"],
+            "vae_encoder": self.vae_enc.init(k3, jnp.zeros((1, h, w, 3)))["params"],
+            "text": self.text.init(
+                k4, jnp.zeros((1, self.text_cfg.context_length), jnp.int32)
+            )["params"],
+        }
+
+    # -- conditioning -----------------------------------------------------------
+
+    def encode_text(self, prompt: str, negative_prompt: str = ""):
+        """Prompt → (cond, uncond) hidden states (get_text_embeds,
+        inpaint_sdm.py:59-69); SD2 conditions on the penultimate layer."""
+        tokens = C.hash_tokenize(
+            [negative_prompt, prompt], self.text_cfg.context_length,
+            self.text_cfg.vocab_size,
+        )
+        out = self.text.apply(
+            {"params": self.params["text"]}, tokens, skip_last_layers=1
+        )
+        hidden = out["hidden"]
+        # project hidden width to the UNet's cross-attention width if the
+        # (tiny) configs differ
+        if hidden.shape[-1] != self.unet_cfg.cross_attention_dim:
+            hidden = hidden[..., : self.unet_cfg.cross_attention_dim]
+        return hidden[1:2], hidden[0:1]
+
+    # -- sampling -----------------------------------------------------------------
+
+    def _build_sampler(self, batch: int):
+        sched = D.EulerSchedule.create(self.num_steps)
+
+        @jax.jit
+        def sample(params, rng, ctx_c, ctx_u, guidance, extra):
+            h, w = self.hw
+            lat_c = self.vae_cfg.latent_channels
+            latents = jax.random.normal(
+                rng, (batch, h // 8, w // 8, lat_c), jnp.float32
+            )
+            ctx_c = jnp.broadcast_to(ctx_c, (batch, *ctx_c.shape[1:]))
+            ctx_u = jnp.broadcast_to(ctx_u, (batch, *ctx_u.shape[1:]))
+            z = D.denoise_loop(
+                self.unet, params["unet"], sched, latents, ctx_c, ctx_u,
+                guidance, extra_channels=extra,
+            )
+            img = self.vae_dec.apply(
+                {"params": params["vae_decoder"]},
+                z / self.vae_cfg.scaling_factor,
+            )
+            return jnp.clip(img.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
+
+        return sample
+
+    def generate(
+        self,
+        prompt: str,
+        negative_prompt: str = "",
+        num_images: int = 1,
+        guidance_scale: float = 7.5,
+        seed: int = 0,
+        init_image: Optional[np.ndarray] = None,
+        mask_holes: Optional[np.ndarray] = None,
+    ) -> List[np.ndarray]:
+        """Run the pipeline; for inpainting pass init_image + mask_holes
+        (mask > 0 = regenerate, the diffusers convention the reference uses
+        with mask_inv, text2nerf_main.py:188-189)."""
+        ctx_c, ctx_u = self.encode_text(prompt, negative_prompt)
+        extra = None
+        if self.inpaint:
+            assert init_image is not None and mask_holes is not None
+            h, w = self.hw
+            img = jnp.asarray(init_image, jnp.float32) * 2 - 1
+            m = jnp.asarray(mask_holes, jnp.float32)
+            if m.ndim == 3:
+                m = m[..., 0]
+            m = (m > 0.5).astype(jnp.float32)
+            masked = img * (1 - m)[..., None]
+            z_masked = self.vae_enc.apply(
+                {"params": self.params["vae_encoder"]}, masked[None]
+            )[..., : self.vae_cfg.latent_channels] * self.vae_cfg.scaling_factor
+            m_lat = jax.image.resize(m, (h // 8, w // 8), "nearest")
+            extra = jnp.concatenate(
+                [m_lat[None, :, :, None], z_masked], axis=-1
+            )[0]
+
+        if self._sample_jit is None or self._sample_batch != num_images:
+            self._sample_jit = self._build_sampler(num_images)
+            self._sample_batch = num_images
+        imgs = self._sample_jit(
+            self.params, jax.random.PRNGKey(seed), ctx_c, ctx_u,
+            jnp.float32(guidance_scale), extra,
+        )
+        return [np.asarray(imgs[i]) for i in range(num_images)]
+
+
+def make_text2img(weights_path: str, hw=(512, 512)):
+    pipe = DiffusionPipeline(weights_path, inpaint=False, hw=hw)
+
+    def text2img(prompt: str, negative_prompt: str = ""):
+        return pipe.generate(prompt, negative_prompt, num_images=1)[0]
+
+    return text2img
+
+
+def make_inpaint(weights_path: str, hw=(512, 512)):
+    pipe = DiffusionPipeline(weights_path, inpaint=True, hw=hw)
+
+    def inpaint(image, mask_holes, prompt="", negative_prompt="",
+                num_images=5, seed=0, guidance_scale=7.5):
+        return pipe.generate(
+            prompt, negative_prompt, num_images=num_images,
+            guidance_scale=guidance_scale, seed=seed,
+            init_image=image, mask_holes=mask_holes,
+        )
+
+    return inpaint
