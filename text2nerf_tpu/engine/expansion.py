@@ -77,6 +77,90 @@ def global_depth_alignment(
     return scale, shift
 
 
+def _update_known_views(
+    view_idx, scene, services, ex, img_new, depth_new, my_map_f, seed
+):
+    """Warp the freshly inpainted content back into the previous views and
+    rebuild their ray pools (text2nerf_main.py:300-377): per known view,
+    composite the warped content where this view had no coverage,
+    re-estimate + merge depth on the updated image, regenerate its support
+    pools from the inpaint mask."""
+    h, w = scene.hw
+    inv_mask = 1.0 - my_map_f
+    pose_new = scene.poses_gen[view_idx]
+    prev_poses = scene.poses_gen[:view_idx]
+
+    rgbs_w, _, depth_w = splat_ops.warp_one_to_many(
+        jnp.asarray(img_new), jnp.asarray(depth_new), jnp.asarray(pose_new),
+        jnp.asarray(prev_poses), scene.intrinsic,
+    )
+    _, masks_w, _ = splat_ops.warp_one_to_many(
+        jnp.asarray(img_new), jnp.asarray(depth_new), jnp.asarray(pose_new),
+        jnp.asarray(prev_poses), scene.intrinsic, mask=jnp.asarray(inv_mask),
+    )
+    rgbs_gen = np.array(scene.rgbs_gen_split)
+    depth_gen = np.array(scene.depth_gen_split)
+    for ii in range(view_idx):
+        mask = np.asarray(masks_w[ii], np.float32)
+        if mask.sum() < 1:
+            continue
+        img = rgbs_gen[ii] * (1 - mask[..., None]) + np.asarray(
+            rgbs_w[ii]
+        ) * mask[..., None]
+        counts = np.asarray(services.estimate_depth(img))
+        depth_ref = (
+            (depth_gen[ii] - ex.push_depth) * 12000.0 / 32768.0 - 1.0
+        ) * (1 - mask)
+        depth_est = counts / 32768.0 - 1.0
+        merged = services.merge.run_finetune(
+            depth_ref.astype(np.float32), depth_est.astype(np.float32),
+            (1 - mask), outsize=max(h, w), lr=ex.merge_lr, iters=ex.merge_iters,
+        )
+        depth = (
+            (np.asarray(merged) + 1.0) * 32768.0 / 12000.0 + ex.push_depth
+        ).astype(np.float32)
+        rgbs_gen[ii] = img
+        depth_gen[ii] = depth
+        inpaint_mask_ii = np.asarray(scene.masks_gen_split[ii], np.float32)
+        if ex.use_support_set:
+            img_j, depth_j = filter_ops.sparse_bilateral_filtering(
+                depth, img, filter_size=(5, 5, 3, 3),
+                depth_threshold=0.02, num_iter=4,
+            )
+            img_f, depth_f = np.asarray(img_j), np.asarray(depth_j)
+            poses_support = traj.local_fixed_poses(
+                scene.poses_gen[ii], angle=0, range_center=ex.trans_range,
+                range_yaw=0.6, range_pitch=0.2,
+            )
+            r_w, _, d_w = splat_ops.warp_one_to_many(
+                jnp.asarray(img_f), jnp.asarray(depth_f),
+                jnp.asarray(poses_support[0]), jnp.asarray(poses_support[1:]),
+                scene.intrinsic,
+            )
+            _, m_w, _ = splat_ops.warp_one_to_many(
+                jnp.asarray(img_f), jnp.asarray(depth_f),
+                jnp.asarray(poses_support[0]), jnp.asarray(poses_support[1:]),
+                scene.intrinsic, mask=jnp.asarray(inpaint_mask_ii),
+            )
+            imgs = np.concatenate([img_f[None], np.asarray(r_w)], 0)
+            msks = np.concatenate([inpaint_mask_ii[None], np.asarray(m_w)], 0)
+            deps = np.concatenate([depth_f[None], np.asarray(d_w)], 0)
+            rays_p, rgbs_p, depths_p, _, _, _ = ss.formatted_ray_pool(
+                imgs, deps, msks, poses_support, scene.intrinsic, h, w
+            )
+        else:
+            rays_p, rgbs_p, depths_p, _, _, _ = ss.formatted_ray_pool(
+                img[None], depth[None], inpaint_mask_ii[None],
+                scene.poses_gen[ii][None], scene.intrinsic, h, w,
+            )
+        scene.updates["%05d" % ii] = (rays_p, rgbs_p, depths_p)
+
+    return dataclasses.replace(
+        scene, rgbs_gen_split=rgbs_gen, depth_gen_split=depth_gen,
+        updates=dict(scene.updates),
+    )
+
+
 @dataclasses.dataclass
 class ExpansionConfig:
     prompt: str
@@ -243,6 +327,14 @@ def expand_scene(
     # --- 8. append + support pools (text2nerf_main.py:296-299, 379-399)
     inpaint_mask = 1.0 - my_map_f
     scene = ss.append_generated_view(scene, img_new, depth_new, inpaint_mask)
+
+    # --- 8b. optionally back-propagate the new content into known views
+    #         (update_known_views branch, text2nerf_main.py:300-377;
+    #         OFF in the production configuration, :658)
+    if ex.update_known_views and view_idx > 0:
+        scene = _update_known_views(
+            view_idx, scene, services, ex, img_new, depth_new, my_map_f, seed
+        )
 
     if ex.use_support_set:
         poses_support = traj.local_fixed_poses(

@@ -125,15 +125,19 @@ class MaskedAttention(nn.Module):
 
 
 class CLIPTextEncoder(nn.Module):
+    """Text tower.  ``skip_last_layers`` selects which hidden states are
+    exposed (SD 2.x conditions on the penultimate layer: 1); it is a module
+    attribute so parameters are stable across calls."""
+
     cfg: CLIPTextConfig
+    skip_last_layers: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, tokens, skip_last_layers: int = 0):
-        """tokens: (B, L) int32.  Returns dict with 'hidden' (B, L, W) —
-        taken ``skip_last_layers`` before the end (SD 2.x conditions on the
-        penultimate layer: skip_last_layers=1) — and 'pooled'/'embeds'."""
+    def __call__(self, tokens):
+        """tokens: (B, L) int32 → {'hidden' (B, L, W), 'pooled', 'embeds'}."""
         c = self.cfg
+        skip_last_layers = self.skip_last_layers
         x = nn.Embed(c.vocab_size, c.width, dtype=self.dtype)(tokens)
         pos = self.param(
             "positional_embedding",

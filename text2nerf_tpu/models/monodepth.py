@@ -73,6 +73,10 @@ class SyncBatchNorm(nn.Module):
         return xn * scale + bias
 
 
+def _gn(ch: int, dtype):
+    return nn.GroupNorm(num_groups=min(32, ch), dtype=dtype)
+
+
 class Bottleneck(nn.Module):
     width: int
     stride: int = 1
@@ -83,22 +87,23 @@ class Bottleneck(nn.Module):
     def __call__(self, x):
         out_ch = self.width * 4
         h = nn.Conv(self.width, (1, 1), use_bias=False, dtype=self.dtype)(x)
-        h = nn.GroupNorm(32, dtype=self.dtype)(h)
+        h = _gn(self.width, self.dtype)(h)
         h = nn.relu(h)
+        groups = self.groups if self.width % self.groups == 0 else 1
         h = nn.Conv(
             self.width, (3, 3), strides=(self.stride, self.stride), padding=1,
-            feature_group_count=self.groups, use_bias=False, dtype=self.dtype,
+            feature_group_count=groups, use_bias=False, dtype=self.dtype,
         )(h)
-        h = nn.GroupNorm(32, dtype=self.dtype)(h)
+        h = _gn(self.width, self.dtype)(h)
         h = nn.relu(h)
         h = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype)(h)
-        h = nn.GroupNorm(32, dtype=self.dtype)(h)
+        h = _gn(out_ch, self.dtype)(h)
         if x.shape[-1] != out_ch or self.stride != 1:
             x = nn.Conv(
                 out_ch, (1, 1), strides=(self.stride, self.stride),
                 use_bias=False, dtype=self.dtype,
             )(x)
-            x = nn.GroupNorm(32, dtype=self.dtype)(x)
+            x = _gn(out_ch, self.dtype)(x)
         return nn.relu(x + h)
 
 

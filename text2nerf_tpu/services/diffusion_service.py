@@ -66,7 +66,9 @@ class DiffusionPipeline:
         self.unet = D.UNet(self.unet_cfg, dtype=dtype)
         self.vae_dec = D.VAEDecoder(self.vae_cfg, dtype=dtype)
         self.vae_enc = D.VAEEncoder(self.vae_cfg, dtype=dtype)
-        self.text = C.CLIPTextEncoder(self.text_cfg, dtype=dtype)
+        # SD 2.x conditions on the penultimate text layer
+        self.text = C.CLIPTextEncoder(self.text_cfg, skip_last_layers=1, dtype=dtype)
+        self.latent_factor = 2 ** (len(self.vae_cfg.block_channels) - 1)
         self.params = self._load_or_init(weights_path)
         self._sample_jit = None
 
@@ -80,7 +82,8 @@ class DiffusionPipeline:
             return converted
         key = jax.random.PRNGKey(0)
         h, w = self.hw
-        lat = (1, h // 8, w // 8, self.unet_cfg.in_channels)
+        f = self.latent_factor
+        lat = (1, h // f, w // f, self.unet_cfg.in_channels)
         ctx = (1, self.text_cfg.context_length, self.unet_cfg.cross_attention_dim)
         k1, k2, k3, k4 = jax.random.split(key, 4)
         return {
@@ -88,7 +91,7 @@ class DiffusionPipeline:
                 k1, jnp.zeros(lat), jnp.zeros((1,)), jnp.zeros(ctx)
             )["params"],
             "vae_decoder": self.vae_dec.init(
-                k2, jnp.zeros((1, h // 8, w // 8, self.vae_cfg.latent_channels))
+                k2, jnp.zeros((1, h // f, w // f, self.vae_cfg.latent_channels))
             )["params"],
             "vae_encoder": self.vae_enc.init(k3, jnp.zeros((1, h, w, 3)))["params"],
             "text": self.text.init(
@@ -105,9 +108,7 @@ class DiffusionPipeline:
             [negative_prompt, prompt], self.text_cfg.context_length,
             self.text_cfg.vocab_size,
         )
-        out = self.text.apply(
-            {"params": self.params["text"]}, tokens, skip_last_layers=1
-        )
+        out = self.text.apply({"params": self.params["text"]}, tokens)
         hidden = out["hidden"]
         # project hidden width to the UNet's cross-attention width if the
         # (tiny) configs differ
@@ -123,9 +124,10 @@ class DiffusionPipeline:
         @jax.jit
         def sample(params, rng, ctx_c, ctx_u, guidance, extra):
             h, w = self.hw
+            f = self.latent_factor
             lat_c = self.vae_cfg.latent_channels
             latents = jax.random.normal(
-                rng, (batch, h // 8, w // 8, lat_c), jnp.float32
+                rng, (batch, h // f, w // f, lat_c), jnp.float32
             )
             ctx_c = jnp.broadcast_to(ctx_c, (batch, *ctx_c.shape[1:]))
             ctx_u = jnp.broadcast_to(ctx_u, (batch, *ctx_u.shape[1:]))
@@ -168,7 +170,8 @@ class DiffusionPipeline:
             z_masked = self.vae_enc.apply(
                 {"params": self.params["vae_encoder"]}, masked[None]
             )[..., : self.vae_cfg.latent_channels] * self.vae_cfg.scaling_factor
-            m_lat = jax.image.resize(m, (h // 8, w // 8), "nearest")
+            f = self.latent_factor
+            m_lat = jax.image.resize(m, (h // f, w // f), "nearest")
             extra = jnp.concatenate(
                 [m_lat[None, :, :, None], z_masked], axis=-1
             )[0]
