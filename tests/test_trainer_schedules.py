@@ -1,0 +1,51 @@
+"""Coarse-to-fine + alpha-mask schedules in the trainer (tiny scale)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from text2nerf_tpu.data import scene_state as ss
+from text2nerf_tpu.engine import trainer, expansion
+from text2nerf_tpu.models import tensorf as tf
+from text2nerf_tpu.services import fallbacks
+from text2nerf_tpu.services.merge import DepthMergeService
+from text2nerf_tpu.services.registry import Services
+
+
+def test_upsample_schedule_grows_grid(tmp_path):
+    hw = (32, 32)
+    scene_cfg = ss.SceneConfig(
+        datadir=str(tmp_path / "d"), prompt="upsample test",
+        pose_traj="circle0_20", num_training=2, hw=hw,
+        num_filter_iter=2, filter_size=(3, 3), use_support_set=False,
+    )
+    train_cfg = trainer.TrainConfig(
+        expname="u", basedir=str(tmp_path / "log"),
+        n_stage1=2, n_stage2=1, batch_size=256,
+        n_voxel_init=12 ** 3, n_voxel_final=20 ** 3,
+        upsamp_list=(4,), update_alphamask_list=(8,),
+        app_k=8, eval_every_epochs=1000, seed=3,
+        model=tf.TensoRFConfig(
+            density_n_comp=(2, 2, 2), app_n_comp=(4, 4, 4), app_dim=6,
+            fea_pe=2, feature_c=16,
+        ),
+    )
+    services = Services(
+        text2img=lambda p, n="": fallbacks.procedural_text2img(p, n, hw=hw),
+        inpaint=fallbacks.diffusion_fill_inpaint,
+        estimate_depth=fallbacks.procedural_depth,
+        rank=fallbacks.histogram_rank,
+        merge=DepthMergeService(net_size=64, num_downs=6),
+    )
+    exp_cfg = expansion.ExpansionConfig(
+        prompt=scene_cfg.prompt, n_candidates=1, candidates_per_round=1,
+        merge_iters=2, chunk=256, app_k=8, use_support_set=False,
+    )
+    mcfg, params, aabb, scene, _ = trainer.reconstruction(
+        train_cfg, scene_cfg, services, exp_cfg
+    )
+    reso = tf.grid_resolution(mcfg, params)
+    # grid grew past the initial 12^3 (upsample), and the alpha-mask shrink
+    # may have trimmed it; it must exceed the initial resolution
+    assert min(reso) > 12, reso
+    assert np.all(np.isfinite(np.asarray(aabb)))

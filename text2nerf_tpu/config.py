@@ -102,6 +102,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--step_ratio", type=float, default=1.0)
     p.add_argument("--N_voxel_init", type=int, default=27_000_000)
     p.add_argument("--N_voxel_final", type=int, default=27_000_000)
+    p.add_argument("--upsamp_list", type=int, nargs="*", default=[])
+    p.add_argument("--update_AlphaMask_list", type=int, nargs="*", default=[])
     p.add_argument("--nSamples", type=int, default=10 ** 6)
     p.add_argument("--ndc_ray", type=int, default=0)
     p.add_argument("--app_k", type=int, default=64)
@@ -158,6 +160,9 @@ def to_configs(args):
         tv_weight_density=args.TV_weight_density,
         tv_weight_app=args.TV_weight_app,
         n_voxel_init=args.N_voxel_init,
+        n_voxel_final=args.N_voxel_final,
+        upsamp_list=tuple(args.upsamp_list),
+        update_alphamask_list=tuple(args.update_AlphaMask_list),
         n_samples_cap=args.nSamples,
         app_k=args.app_k, ndc_ray=bool(args.ndc_ray),
         ckpt=args.ckpt,

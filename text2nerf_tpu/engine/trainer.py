@@ -63,6 +63,15 @@ class TrainConfig:
     render_path: bool = False
     seed: int = 1024
     model: tf.TensoRFConfig = dataclasses.field(default_factory=tf.TensoRFConfig)
+    # TensoRF coarse-to-fine machinery (upsamp_list / update_AlphaMask_list,
+    # e_opt.py:126-133).  The reference parses these but its main loop never
+    # invokes them (grid fixed at 300^3, SURVEY §5); here they are live:
+    # global-step milestones at which the factor grids are upsampled toward
+    # n_voxel_final / the alpha mask is rebuilt.
+    n_voxel_final: int = 27_000_000
+    upsamp_list: Tuple[int, ...] = ()
+    update_alphamask_list: Tuple[int, ...] = ()
+    lr_upsample_reset: bool = True
 
 
 def _epoch_iters(n_rays: int, batch: int) -> int:
@@ -232,6 +241,59 @@ def reconstruction(
 
         # --- epoch ----------------------------------------------------------
         for it in range(n_iters_epoch):
+            # coarse-to-fine grid upsampling (tensoRF.py:258-264 + the
+            # lr_upsample_reset rule, e_opt.py:66-67)
+            if cfg.upsamp_list and global_step in cfg.upsamp_list:
+                # logarithmic voxel schedule from current to final count
+                n_voxels = int(
+                    np.exp(
+                        np.linspace(
+                            np.log(cfg.n_voxel_init),
+                            np.log(cfg.n_voxel_final),
+                            len(cfg.upsamp_list) + 1,
+                        )
+                    )[list(cfg.upsamp_list).index(global_step) + 1]
+                )
+                reso = tf.n_to_reso(n_voxels, aabb)
+                params_up = tf.upsample_volume_grid(mcfg, state.params, reso)
+                n_samples = tf.default_n_samples(
+                    reso, mcfg.step_ratio, cfg.n_samples_cap
+                )
+                if cfg.lr_upsample_reset:
+                    state, tx = ts.make_train_state(
+                        params_up, cfg.lr_init, cfg.lr_basis, factor
+                    )
+                else:
+                    state, tx = ts.make_train_state(
+                        params_up, cfg.lr_init * tv_decay,
+                        cfg.lr_basis * tv_decay, factor,
+                    )
+                step_fn = ts.make_train_step(
+                    mcfg, tx, n_samples=n_samples, app_k=cfg.app_k,
+                    white_bg=white_bg, ndc=cfg.ndc_ray, weights=weights,
+                )
+            if (
+                cfg.update_alphamask_list
+                and global_step in cfg.update_alphamask_list
+            ):
+                # alpha-mask rebuild + AABB shrink on the first update
+                # (tensorBase.py:346-370, tensoRF.py:266-303)
+                reso_now = tf.grid_resolution(mcfg, state.params)
+                mask_reso = tuple(min(r, 200) for r in reso_now)
+                alpha_mask, new_aabb = tf.update_alpha_mask(
+                    mcfg, state.params, aabb, mask_reso
+                )
+                if global_step == cfg.update_alphamask_list[0]:
+                    params_sh, aabb, _ = tf.shrink(
+                        mcfg, state.params, aabb, new_aabb
+                    )
+                    state, tx = ts.make_train_state(
+                        params_sh, cfg.lr_init, cfg.lr_basis, factor
+                    )
+                    step_fn = ts.make_train_step(
+                        mcfg, tx, n_samples=n_samples, app_k=cfg.app_k,
+                        white_bg=white_bg, ndc=cfg.ndc_ray, weights=weights,
+                    )
             use_replay = (
                 view_idx == 0 or it % 5 == 0 or epoch >= n_total
                 or sampler_new is None

@@ -41,11 +41,35 @@ def main(argv=None):
 
     if args.render_only and (args.render_test or args.render_path):
         trainer.render_test(train_cfg, scene_cfg)
+        if args.export_mesh:
+            _export_mesh(train_cfg.ckpt)
         return 0
 
     services = default_services(weights_dir=args.weights_dir, hw=scene_cfg.hw)
-    trainer.reconstruction(train_cfg, scene_cfg, services, expansion_cfg)
+    mcfg, params, aabb, scene, logfolder = trainer.reconstruction(
+        train_cfg, scene_cfg, services, expansion_cfg
+    )
+    if args.export_mesh:
+        from .utils.mesh import export_field_mesh
+        import os as _os
+
+        export_field_mesh(
+            mcfg, params, aabb, _os.path.join(logfolder, "mesh.ply")
+        )
     return 0
+
+
+def _export_mesh(ckpt_path):
+    """--export_mesh for render-only runs: mesh from the checkpointed field."""
+    from .engine.checkpoints import load_checkpoint
+    from .utils.mesh import export_field_mesh
+    import os as _os
+
+    mcfg, params, aabb, _, _ = load_checkpoint(ckpt_path)
+    export_field_mesh(
+        mcfg, params, aabb,
+        _os.path.join(_os.path.dirname(ckpt_path), "mesh.ply"),
+    )
 
 
 if __name__ == "__main__":
