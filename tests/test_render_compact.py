@@ -1,0 +1,83 @@
+"""Compacted renderer: exactness vs the dense path under an alpha mask."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from text2nerf_tpu.models import tensorf as tf
+from text2nerf_tpu.ops import render as R
+
+
+CFG = tf.TensoRFConfig(
+    density_n_comp=(4, 4, 4), app_n_comp=(8, 8, 8), app_dim=12,
+    fea_pe=2, feature_c=32,
+)
+GRID = (24, 24, 24)
+AABB = jnp.array([[-4.0, -4.0, -4.0], [4.0, 4.0, 4.0]])
+
+
+def _field_and_mask():
+    """A field dense in a z-slab [2.4, 3.2] and empty elsewhere."""
+    params = tf.init_params(jax.random.PRNGKey(0), CFG, GRID)
+    params = dict(params)
+    # density line along world z is lines index VEC_MODE.index... axis 2 is
+    # handled by line 0 (VEC_MODE=(2,1,0)); make it high in the slab
+    line = np.full((24, 4), -3.0, np.float32)
+    zs = np.linspace(-4, 4, 24)
+    line[(zs > 2.4) & (zs < 3.2)] = 3.0
+    params["density_lines"] = (
+        jnp.asarray(line),
+        jnp.abs(params["density_lines"][1]) + 1.0,
+        jnp.abs(params["density_lines"][2]) + 1.0,
+    )
+    params["density_planes"] = tuple(
+        jnp.abs(p) + 1.0 for p in params["density_planes"]
+    )
+    alpha_mask, _ = tf.update_alpha_mask(CFG, params, AABB, (24, 24, 24))
+    return params, alpha_mask
+
+
+def _rays(n=64, seed=0):
+    rng = np.random.default_rng(seed)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d[:, 2] = np.abs(d[:, 2]) + 1.0
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.asarray(np.concatenate([np.zeros((n, 3), np.float32), d], -1))
+
+
+def test_compact_matches_dense_with_mask():
+    params, alpha_mask = _field_and_mask()
+    rays = _rays()
+    dense = R.render_rays(
+        CFG, params, AABB, rays, n_samples=64, app_k=32,
+        white_bg=True, alpha_mask=alpha_mask,
+    )
+    compact = R.render_rays_compact(
+        CFG, params, AABB, rays, alpha_mask,
+        n_samples=64, compact_k=32, app_k=32, white_bg=True,
+    )
+    occupancy = float((np.asarray(dense.weights) > 1e-6).sum(-1).max())
+    assert occupancy <= 32, occupancy  # K covers all live samples
+    np.testing.assert_allclose(
+        np.asarray(compact.rgb), np.asarray(dense.rgb), atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(compact.depth), np.asarray(dense.depth), atol=2e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(compact.acc), np.asarray(dense.acc), atol=2e-3
+    )
+
+
+def test_compact_handles_all_empty_rays():
+    params, alpha_mask = _field_and_mask()
+    # rays pointing straight up never reach the z-slab
+    n = 8
+    d = np.tile(np.array([[0.0, 1.0, 0.0]], np.float32), (n, 1))
+    rays = jnp.asarray(np.concatenate([np.zeros((n, 3), np.float32), d], -1))
+    out = R.render_rays_compact(
+        CFG, params, AABB, rays, alpha_mask,
+        n_samples=64, compact_k=16, app_k=8, white_bg=True,
+    )
+    np.testing.assert_allclose(np.asarray(out.rgb), 1.0, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out.acc), 0.0, atol=1e-4)

@@ -141,6 +141,76 @@ def sparse_bilateral_filtering(
     return vis_image, vis_depth
 
 
+@functools.partial(jax.jit, static_argnames=("window",))
+def range_median_filter(values, discontinuity, window: int,
+                        sigma_s: float = 4.0, sigma_r: float = 0.5):
+    """The bilateral_filter2 branch (bilateral_filtering.py:230-320):
+    weighted median with coef = spatial * range * (1 - discontinuity),
+    skipping pixels whose own discontinuity flag is set."""
+    m = window // 2
+    v = jnp.pad(values[1:-1, 1:-1], ((1, 1), (1, 1)), mode="edge")
+    d = jnp.pad(discontinuity[1:-1, 1:-1], ((1, 1), (1, 1)), mode="edge")
+    pv = jnp.pad(v, ((m, m), (m, m)), mode="edge")
+    pd = jnp.pad(d, ((m, m), (m, m)), mode="edge")
+
+    vals = _window_stack(pv, window)
+    disc = _window_stack(pd, window)
+    center = vals[..., (window * window) // 2]
+
+    ax = jnp.arange(-m, m + 1.0)
+    xx, yy = jnp.meshgrid(ax, ax)
+    spatial = jnp.exp(-(xx ** 2 + yy ** 2) / (2.0 * sigma_s ** 2)).reshape(-1)
+    rng_term = jnp.exp(-(vals - center[..., None]) ** 2 / (2.0 * sigma_r ** 2))
+    coef = spatial[None, None] * rng_term * (1.0 - disc)
+
+    order = jnp.argsort(vals, axis=-1)
+    vals_sorted = jnp.take_along_axis(vals, order, axis=-1)
+    coef_sorted = jnp.take_along_axis(coef, order, axis=-1)
+    csum = coef_sorted.sum(axis=-1, keepdims=True)
+    cum = jnp.cumsum(coef_sorted / jnp.maximum(csum, 1e-30), axis=-1)
+    idx = jnp.minimum(jnp.sum(cum <= 0.5, -1, keepdims=True), window ** 2 - 1)
+    median = jnp.take_along_axis(vals_sorted, idx, axis=-1)[..., 0]
+
+    skip = disc[..., (window * window) // 2] == 1
+    no_coef = coef.sum(axis=-1) == 0
+    out = jnp.where(skip | no_coef, v, median)
+    return out
+
+
+def sparse_bilateral_filtering_image_edge(
+    depth, image, filter_size=(5, 5, 3, 3), threshold: float = 0.1,
+    num_iter: int = 4, mask=None,
+):
+    """Image-gradient-driven variant (sparse_bilateral_filtering_4imgedge,
+    bilateral_filtering.py:37-69): discontinuities come from the grayscale
+    image edges; filtering uses the spatial+range kernel."""
+    import numpy as np
+
+    depth0 = jnp.asarray(depth, jnp.float32)
+    vis_depth = depth0
+    vis_image = jnp.asarray(image, jnp.float32)
+    gray_w = jnp.asarray([0.299, 0.587, 0.114])
+    for i in range(num_iter - 1):
+        win = filter_size[i] if not np.isscalar(filter_size) else filter_size
+        gray = jnp.tensordot(vis_image, gray_w, axes=(-1, 0))
+        u, b, l, r = depth_discontinuity(
+            gray, threshold, mask, use_disparity=False
+        )
+        disc = jnp.clip(u + b + l + r, 0.0, 1.0)
+        disc = jnp.where(depth0 == 0, 1.0, disc)
+        if mask is not None:
+            disc = jnp.where(jnp.asarray(mask) == 0, 0.0, disc)
+        vis_depth = range_median_filter(vis_depth, disc, int(win))
+        vis_image = jnp.stack(
+            [
+                range_median_filter(vis_image[..., c], disc, int(win))
+                for c in range(vis_image.shape[-1])
+            ],
+            axis=-1,
+        )
+    return vis_image, vis_depth
+
+
 # ---------------------------------------------------------------------------
 # DIBR hole filling
 # ---------------------------------------------------------------------------

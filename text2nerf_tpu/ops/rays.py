@@ -174,6 +174,57 @@ def aabb_slab_interval(rays_o, rays_d, aabb):
     return t_min, t_max
 
 
+def depth2dist(z_vals, cos_angle):
+    """Sample depths → inter-sample distances scaled by ray angle
+    (ray_utils.py:9-15)."""
+    dists = z_vals[..., 1:] - z_vals[..., :-1]
+    dists = jnp.concatenate(
+        [dists, jnp.full_like(dists[..., :1], 1e10)], -1
+    )
+    return dists * cos_angle[..., None]
+
+
+def ndc2dist(ndc_pts, cos_angle):
+    """NDC point chain → distances (ray_utils.py:18-21)."""
+    dists = jnp.linalg.norm(ndc_pts[:, 1:] - ndc_pts[:, :-1], axis=-1)
+    return jnp.concatenate([dists, 1e10 * cos_angle[..., None]], -1)
+
+
+@functools.partial(jax.jit, static_argnames=("n_samples", "lindisp"))
+def ray_marcher(
+    rays, n_samples: int = 64, lindisp: bool = False, perturb: float = 0.0,
+    bbox=None, rng=None,
+):
+    """Near/far stratified point sampling (ray_marcher, ray_utils.py:184-228).
+
+    rays: (N, 8) [o | d | near | far]; with ``bbox`` the near/far come from
+    the AABB intersection (dda, ray_utils.py:174-181).
+    """
+    rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
+    if bbox is not None:
+        t_min, t_max = aabb_slab_interval(rays_o, rays_d, jnp.asarray(bbox))
+        near, far = t_min[:, None], t_max[:, None]
+    else:
+        near, far = rays[:, 6:7], rays[:, 7:8]
+
+    z_steps = jnp.linspace(0.0, 1.0, n_samples)
+    if not lindisp:
+        z_vals = near * (1 - z_steps) + far * z_steps
+    else:
+        z_vals = 1.0 / (1.0 / near * (1 - z_steps) + 1.0 / far * z_steps)
+    z_vals = jnp.broadcast_to(z_vals, (rays.shape[0], n_samples))
+
+    if perturb > 0 and rng is not None:
+        mids = 0.5 * (z_vals[:, :-1] + z_vals[:, 1:])
+        upper = jnp.concatenate([mids, z_vals[:, -1:]], -1)
+        lower = jnp.concatenate([z_vals[:, :1], mids], -1)
+        u = jax.random.uniform(rng, z_vals.shape)
+        z_vals = lower + (upper - lower) * perturb * u
+
+    xyz = rays_o[:, None] + rays_d[:, None] * z_vals[..., None]
+    return xyz, rays_o, rays_d, z_vals
+
+
 @functools.partial(jax.jit, static_argnums=(2,))
 def sample_pdf(bins, weights, n_samples: int, rng=None):
     """Hierarchical inverse-CDF sampling (ray_utils.py:129-171).

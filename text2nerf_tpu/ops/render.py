@@ -122,7 +122,11 @@ def render_rays(
 
     valid = jnp.all((pts >= aabb[0]) & (pts <= aabb[1]), axis=-1)
     if alpha_mask is not None:
-        am = tf.sample_alpha_mask(alpha_mask, pts.reshape(-1, 3)).reshape(b, -1)
+        # nearest-voxel lookup (1 gathered row/sample) instead of the
+        # trilinear test (8 rows); equivalent ">0" decision given the
+        # 3x3x3 max-pool applied when the mask is built
+        # (tensorBase.py:355), at 1/8 the gather cost.
+        am = _nearest_alpha_lookup(alpha_mask, pts.reshape(-1, 3)).reshape(b, -1)
         valid = valid & (am > 0)
     if not is_train:
         valid = valid & (pts[..., 2] > eval_z_min)
@@ -171,6 +175,108 @@ def render_rays(
     return RenderOutput(rgb=rgb, depth=depth, z_vals=z_vals, weights=weights, acc=acc)
 
 
+def _nearest_alpha_lookup(alpha_mask, pts):
+    """Single-gather occupancy test: nearest-voxel lookup into the (dilated)
+    alpha volume.  One gathered row per sample vs 8 for the trilinear test;
+    conservative when the volume was built with the reference's 3x3x3
+    max-pool (tensorBase.py:355)."""
+    volume, aabb = alpha_mask["volume"], alpha_mask["aabb"]
+    d, h, w = volume.shape
+    xn = jnp.clip(tf.normalize_coord(aabb, pts), -1.0, 1.0)
+    ix = jnp.round((xn[..., 0] + 1) * 0.5 * (w - 1)).astype(jnp.int32)
+    iy = jnp.round((xn[..., 1] + 1) * 0.5 * (h - 1)).astype(jnp.int32)
+    iz = jnp.round((xn[..., 2] + 1) * 0.5 * (d - 1)).astype(jnp.int32)
+    flat = volume.reshape(-1)
+    return jnp.take(flat, (iz * h + iy) * w + ix)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "n_samples", "compact_k", "app_k", "white_bg", "eval_z_min",
+    ),
+)
+def render_rays_compact(
+    cfg: tf.TensoRFConfig,
+    params,
+    aabb,
+    rays,
+    alpha_mask,
+    *,
+    n_samples: int,
+    compact_k: int = 96,
+    app_k: int = 48,
+    white_bg: bool = True,
+    eval_z_min: float = 2.0,
+) -> RenderOutput:
+    """Eval renderer with alpha-mask sample compaction.
+
+    Exact under the reference's alpha-mask culling semantics
+    (tensorBase.py:451-456: sigma = 0 where the mask is 0): excluded
+    samples contribute alpha = 0, so compositing over the first
+    ``compact_k`` occupied samples per ray equals the dense product.
+    Feature gathers run only on B*K rows instead of B*S — the main
+    throughput lever once a trained field has a tight occupancy mask
+    (see PERF.md).
+    """
+    aabb = jnp.asarray(aabb)
+    rays_o, rays_d = rays[:, :3], rays[:, 3:6]
+    b = rays.shape[0]
+    step = tf.step_size(aabb, tf.grid_resolution(cfg, params), cfg.step_ratio)
+    t_min = aabb_slab_entry(rays_o, rays_d, aabb, cfg.near, cfg.far)
+    steps = jnp.arange(n_samples, dtype=rays.dtype)[None, :]
+    z_vals = t_min[:, None] + step * steps
+    pts = rays_o[:, None] + rays_d[:, None] * z_vals[..., None]
+
+    valid = jnp.all((pts >= aabb[0]) & (pts <= aabb[1]), axis=-1)
+    valid = valid & (pts[..., 2] > eval_z_min)
+    occ = _nearest_alpha_lookup(alpha_mask, pts.reshape(-1, 3)).reshape(
+        b, n_samples
+    )
+    live = valid & (occ > 0)
+
+    # first-K live samples per ray, in ray order
+    order_key = jnp.where(live, steps.astype(jnp.int32), n_samples)
+    k = min(compact_k, n_samples)
+    idx = jnp.sort(order_key, axis=-1)[:, :k]
+    k_live = idx < n_samples
+    idx = jnp.minimum(idx, n_samples - 1)
+
+    z_k = jnp.take_along_axis(z_vals, idx, axis=1)
+    pts_k = jnp.take_along_axis(pts, idx[..., None], axis=1)
+    xn_k = jnp.clip(tf.normalize_coord(aabb, pts_k), -1.0, 1.0)
+
+    packed = tf.pack_params(cfg, params)
+    feat = tf.compute_density_feature_packed(
+        cfg, packed, xn_k.reshape(-1, 3)
+    ).reshape(b, k)
+    sigma = jnp.where(k_live, tf.feature2density(cfg, feat), 0.0)
+    # uniform eval sampling → every inter-sample dist is exactly `step`,
+    # except the dense march's final sample which carries dist 0
+    # (tensorBase.py:448)
+    dists = jnp.where(idx == n_samples - 1, 0.0, step) * cfg.distance_scale
+    _, weights, _ = raw2alpha(sigma, dists)
+    acc = jnp.sum(weights, axis=-1)
+
+    k2 = min(app_k, k)
+    w_top, aidx = jax.lax.top_k(weights, k2)
+    xn_a = jnp.take_along_axis(xn_k, aidx[..., None], axis=1)
+    app_ok = (w_top > cfg.raymarch_weight_thres)[..., None]
+    app_feat = tf.compute_app_feature_packed(cfg, packed, xn_a.reshape(-1, 3))
+    dirs_a = jnp.broadcast_to(rays_d[:, None], (b, k2, 3)).reshape(-1, 3)
+    rgb_a = mlp_mod.shade(
+        cfg.shading_mode, params.get("mlp"), xn_a.reshape(-1, 3), dirs_a,
+        app_feat, view_pe=cfg.view_pe, fea_pe=cfg.fea_pe, pos_pe=cfg.pos_pe,
+    ).reshape(b, k2, 3)
+    rgb_a = jnp.where(app_ok, rgb_a, 0.0)
+    rgb = jnp.sum(w_top[..., None] * rgb_a, axis=1)
+    if white_bg:
+        rgb = rgb + (1.0 - acc[..., None])
+    rgb = jnp.clip(rgb, 0.0, 1.0)
+    depth = jnp.sum(weights * z_k, axis=-1) + (1.0 - acc) * rays[:, -1]
+    return RenderOutput(rgb=rgb, depth=depth, z_vals=z_k, weights=weights, acc=acc)
+
+
 def render_chunked(
     cfg,
     params,
@@ -183,11 +289,14 @@ def render_chunked(
     white_bg: bool = True,
     ndc: bool = False,
     alpha_mask=None,
+    compact_k: int = 0,
 ):
     """Host-side chunked renderer over an arbitrary ray count.
 
     Pads the final chunk so only one jit specialization exists per chunk
     size (the reference loops un-jitted chunks, renderer.py:28-42).
+    With ``compact_k > 0`` and an alpha mask, uses the compacted
+    fast path (render_rays_compact).
     """
     n = rays.shape[0]
     outs = []
@@ -196,18 +305,25 @@ def render_chunked(
         pad = chunk - part.shape[0]
         if pad:
             part = jnp.concatenate([part, jnp.zeros((pad, 6), part.dtype)], 0)
-        out = render_rays(
-            cfg,
-            params,
-            aabb,
-            part,
-            n_samples=n_samples,
-            app_k=app_k,
-            is_train=False,
-            white_bg=white_bg,
-            ndc=ndc,
-            alpha_mask=alpha_mask,
-        )
+        if compact_k and alpha_mask is not None and not ndc:
+            out = render_rays_compact(
+                cfg, params, aabb, part, alpha_mask,
+                n_samples=n_samples, compact_k=compact_k,
+                app_k=min(app_k, compact_k), white_bg=white_bg,
+            )
+        else:
+            out = render_rays(
+                cfg,
+                params,
+                aabb,
+                part,
+                n_samples=n_samples,
+                app_k=app_k,
+                is_train=False,
+                white_bg=white_bg,
+                ndc=ndc,
+                alpha_mask=alpha_mask,
+            )
         if pad:
             out = jax.tree.map(lambda x: x[: chunk - pad], out)
         outs.append(out)
