@@ -39,6 +39,23 @@ class RenderOutput(NamedTuple):
     acc: jnp.ndarray       # (B,) accumulated opacity
 
 
+def _shade(cfg, params, xn, dirs, app_feat, is_train: bool):
+    """Shading-head dispatch: the fused Pallas kernel on TPU eval paths
+    (2.6x over the XLA head — it keeps the 351-wide PE expansion in VMEM),
+    the autodiffable XLA head otherwise."""
+    if not is_train and cfg.shading_mode == "MLP_Fea_noview":
+        from .pallas.shading_mlp import pallas_available, shade_fea_noview_pallas
+
+        if pallas_available():
+            return shade_fea_noview_pallas(
+                params["mlp"], app_feat, fea_pe=cfg.fea_pe
+            )
+    return mlp_mod.shade(
+        cfg.shading_mode, params.get("mlp"), xn, dirs, app_feat,
+        view_pe=cfg.view_pe, fea_pe=cfg.fea_pe, pos_pe=cfg.pos_pe,
+    )
+
+
 def raw2alpha(sigma, dists):
     """alpha/weights/background weight from density (tensorBase.py:19-26)."""
     alpha = 1.0 - jnp.exp(-sigma * dists)
@@ -149,16 +166,8 @@ def render_rays(
 
     app_feat = tf.compute_app_feature_packed(cfg, packed, xn_k.reshape(-1, 3))
     dirs_k = jnp.broadcast_to(viewdirs[:, None], (b, k, 3)).reshape(-1, 3)
-    rgb_k = mlp_mod.shade(
-        cfg.shading_mode,
-        params.get("mlp"),
-        xn_k.reshape(-1, 3),
-        dirs_k,
-        app_feat,
-        view_pe=cfg.view_pe,
-        fea_pe=cfg.fea_pe,
-        pos_pe=cfg.pos_pe,
-    ).reshape(b, k, 3)
+    rgb_k = _shade(cfg, params, xn_k.reshape(-1, 3), dirs_k, app_feat,
+                   is_train).reshape(b, k, 3)
     rgb_k = jnp.where(app_ok, rgb_k, 0.0)
 
     rgb = jnp.sum(w_top[..., None] * rgb_k, axis=1)
@@ -264,9 +273,8 @@ def render_rays_compact(
     app_ok = (w_top > cfg.raymarch_weight_thres)[..., None]
     app_feat = tf.compute_app_feature_packed(cfg, packed, xn_a.reshape(-1, 3))
     dirs_a = jnp.broadcast_to(rays_d[:, None], (b, k2, 3)).reshape(-1, 3)
-    rgb_a = mlp_mod.shade(
-        cfg.shading_mode, params.get("mlp"), xn_a.reshape(-1, 3), dirs_a,
-        app_feat, view_pe=cfg.view_pe, fea_pe=cfg.fea_pe, pos_pe=cfg.pos_pe,
+    rgb_a = _shade(
+        cfg, params, xn_a.reshape(-1, 3), dirs_a, app_feat, False
     ).reshape(b, k2, 3)
     rgb_a = jnp.where(app_ok, rgb_a, 0.0)
     rgb = jnp.sum(w_top[..., None] * rgb_a, axis=1)

@@ -134,7 +134,6 @@ def marching_tetrahedra(volume: np.ndarray, level: float = 0.5, spacing=(1, 1, 1
     # weld duplicate vertices (quantized)
     key = np.round(verts * 1e6).astype(np.int64)
     uniq, inverse = np.unique(key, axis=0, return_inverse=True)
-    order = {}
     verts_out = np.zeros((len(uniq), 3))
     verts_out[inverse] = verts
     faces = inverse.reshape(-1, 3)
