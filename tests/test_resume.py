@@ -1,0 +1,90 @@
+"""Mid-scene resume: a restarted run fast-forwards past completed views."""
+
+import json
+import os
+
+import numpy as np
+
+from text2nerf_tpu.data import scene_state as ss
+from text2nerf_tpu.engine import trainer, expansion
+from text2nerf_tpu.models import tensorf as tf
+from text2nerf_tpu.services import fallbacks
+from text2nerf_tpu.services.merge import DepthMergeService
+from text2nerf_tpu.services.registry import Services
+
+
+def _setup(tmp_path):
+    hw = (32, 32)
+    scene_cfg = ss.SceneConfig(
+        datadir=str(tmp_path / "d"), prompt="resume test",
+        pose_traj="circle0_20", num_training=3, hw=hw,
+        num_filter_iter=2, filter_size=(3, 3),
+    )
+    train_cfg = trainer.TrainConfig(
+        expname="r", basedir=str(tmp_path / "log"),
+        n_stage1=1, n_stage2=1, batch_size=256,
+        n_voxel_init=16 ** 3, app_k=8, eval_every_epochs=1000, seed=5,
+        resume=True,
+        model=tf.TensoRFConfig(
+            density_n_comp=(2, 2, 2), app_n_comp=(4, 4, 4), app_dim=6,
+            fea_pe=2, feature_c=16,
+        ),
+    )
+    services = Services(
+        text2img=lambda p, n="": fallbacks.procedural_text2img(p, n, hw=hw),
+        inpaint=fallbacks.diffusion_fill_inpaint,
+        estimate_depth=fallbacks.procedural_depth,
+        rank=fallbacks.histogram_rank,
+        merge=DepthMergeService(net_size=64, num_downs=6),
+    )
+    exp_cfg = expansion.ExpansionConfig(
+        prompt=scene_cfg.prompt, n_candidates=1, candidates_per_round=1,
+        merge_iters=2, chunk=256, app_k=8, trans_range=0.2,
+    )
+    return train_cfg, scene_cfg, services, exp_cfg
+
+
+def test_resume_fast_forwards(tmp_path):
+    train_cfg, scene_cfg, services, exp_cfg = _setup(tmp_path)
+    # first full run writes resume checkpoints at each stage boundary
+    mcfg, params, aabb, scene1, logfolder = trainer.reconstruction(
+        train_cfg, scene_cfg, services, exp_cfg
+    )
+    assert os.path.exists(os.path.join(logfolder, "r_resume.npz"))
+    assert os.path.exists(os.path.join(logfolder, "scene_snapshot.npz"))
+    assert scene1.rgbs_gen_split.shape[0] == 3
+
+    # second run resumes from the last boundary instead of bootstrapping
+    _, _, _, scene2, _ = trainer.reconstruction(
+        train_cfg, scene_cfg, services, exp_cfg
+    )
+    lines = [
+        json.loads(l)
+        for l in open(os.path.join(logfolder, "metrics.jsonl"))
+        if "resume_epoch" in l
+    ]
+    assert lines and lines[-1]["resume_epoch"] >= 1
+    assert scene2.rgbs_gen_split.shape[0] == 3
+
+
+def test_scene_snapshot_roundtrip(tmp_path):
+    hw = (32, 32)
+    cfg = ss.SceneConfig(
+        datadir=str(tmp_path / "d"), prompt="snap", hw=hw,
+        num_filter_iter=2, filter_size=(3, 3),
+    )
+    scene = ss.bootstrap_scene(
+        cfg, "train",
+        text2img=lambda p, n="": fallbacks.procedural_text2img(p, n, hw=hw),
+        estimate_depth=fallbacks.procedural_depth,
+    )
+    path = str(tmp_path / "snap.npz")
+    ss.save_scene_snapshot(path, scene)
+    loaded = ss.load_scene_snapshot(path, n_views_pools=1)
+    np.testing.assert_allclose(loaded.rgbs_gen_split, scene.rgbs_gen_split)
+    np.testing.assert_allclose(loaded.poses_gen, scene.poses_gen, atol=1e-6)
+    # rebuilt view-0 pool matches the bootstrap pool
+    r0, g0, d0 = scene.updates["00000"]
+    r1, g1, d1 = loaded.updates["00000"]
+    assert r0.shape == r1.shape
+    np.testing.assert_allclose(g0, g1, atol=1e-6)

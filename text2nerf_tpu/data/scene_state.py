@@ -296,6 +296,115 @@ def bootstrap_scene(
     return state
 
 
+def save_scene_snapshot(path: str, scene: SceneState):
+    """Persist the resumable part of the scene: generated view splits,
+    masks, poses.  Ray pools are derived data (support warps are
+    deterministic) and get rebuilt on load."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(
+        path,
+        hw=np.asarray(scene.hw),
+        intrinsic=np.asarray(scene.intrinsic),
+        scene_bbox=scene.scene_bbox,
+        near_far=np.asarray(scene.near_far),
+        white_bg=np.asarray(scene.white_bg),
+        poses_gen=scene.poses_gen,
+        poses_support=scene.poses_support,
+        rgbs_gen_split=scene.rgbs_gen_split,
+        depth_gen_split=scene.depth_gen_split,
+        masks_gen_split=scene.masks_gen_split,
+    )
+
+
+def rebuild_view_pool(
+    scene: SceneState, view_idx: int, trans_range: float, use_support_set: bool
+):
+    """Recompute updates['%05d' % view_idx] from the stored view splits —
+    the deterministic support-warp + pool formatting of
+    text2nerf_main.py:379-399 (and scene bootstrap for view 0)."""
+    from . import trajectories as traj
+
+    h, w = scene.hw
+    img = np.asarray(scene.rgbs_gen_split[view_idx])
+    depth = np.asarray(scene.depth_gen_split[view_idx])
+    mask = np.asarray(scene.masks_gen_split[view_idx])
+    if use_support_set:
+        if view_idx == 0:
+            poses_support = scene.poses_support
+            mask0 = np.ones((h, w), np.float32)
+        else:
+            poses_support = traj.local_fixed_poses(
+                scene.poses_gen[view_idx], angle=0, range_center=trans_range,
+                range_yaw=0.6, range_pitch=0.2,
+            )
+            mask0 = mask
+        rgbs_w, masks_w, depth_w = splat_ops.warp_one_to_many(
+            jnp.asarray(img), jnp.asarray(depth),
+            jnp.asarray(poses_support[0]), jnp.asarray(poses_support[1:]),
+            scene.intrinsic,
+        )
+        if view_idx > 0:
+            # masks come from warping only the inpainted region
+            # (text2nerf_main.py:385-387)
+            _, masks_w, _ = splat_ops.warp_one_to_many(
+                jnp.asarray(img), jnp.asarray(depth),
+                jnp.asarray(poses_support[0]), jnp.asarray(poses_support[1:]),
+                scene.intrinsic, mask=jnp.asarray(mask),
+            )
+        images = np.concatenate([img[None], np.asarray(rgbs_w)], 0)
+        masks = np.concatenate([mask0[None], np.asarray(masks_w)], 0)
+        depths = np.concatenate([depth[None], np.asarray(depth_w)], 0)
+        rays_p, rgbs_p, depths_p, _, _, _ = formatted_ray_pool(
+            images, depths, masks, poses_support, scene.intrinsic, h, w
+        )
+    else:
+        m = np.ones((h, w), np.float32) if view_idx == 0 else mask
+        rays_p, rgbs_p, depths_p, _, _, _ = formatted_ray_pool(
+            img[None], depth[None], m[None],
+            scene.poses_gen[view_idx][None], scene.intrinsic, h, w,
+        )
+    return rays_p, rgbs_p, depths_p
+
+
+def load_scene_snapshot(
+    path: str, n_views_pools: int, trans_range: float = 0.2,
+    use_support_set: bool = True,
+) -> SceneState:
+    """Restore a SceneState from a snapshot, rebuilding the ray pools for
+    views [0, n_views_pools)."""
+    data = np.load(path)
+    h, w = (int(x) for x in data["hw"])
+    intrinsic = tuple(float(x) for x in data["intrinsic"])
+    poses = data["poses_gen"]
+    state = SceneState(
+        hw=(h, w), intrinsic=intrinsic,
+        scene_bbox=data["scene_bbox"],
+        near_far=tuple(float(x) for x in data["near_far"]),
+        white_bg=bool(data["white_bg"]),
+        poses_gen=poses, poses_support=data["poses_support"],
+        all_rays=np.zeros((0, 6), np.float32),
+        all_rgbs=np.zeros((0, 3), np.float32),
+        all_depth=np.zeros((0,), np.float32),
+        rays_gen_split=test_ray_split(poses, intrinsic, h, w),
+        rgbs_gen_split=data["rgbs_gen_split"],
+        depth_gen_split=data["depth_gen_split"],
+        masks_gen_split=data["masks_gen_split"],
+        rays_support_split=test_ray_split(data["poses_support"], intrinsic, h, w),
+    )
+    for v in range(n_views_pools):
+        state.updates["%05d" % v] = rebuild_view_pool(
+            state, v, trans_range, use_support_set
+        )
+    if "00000" in state.updates:
+        state = dataclasses.replace(
+            state,
+            all_rays=state.updates["00000"][0],
+            all_rgbs=state.updates["00000"][1],
+            all_depth=state.updates["00000"][2],
+        )
+    return state
+
+
 def append_generated_view(
     state: SceneState, img: np.ndarray, depth: np.ndarray, inpaint_mask: np.ndarray
 ) -> SceneState:

@@ -72,6 +72,10 @@ class TrainConfig:
     upsamp_list: Tuple[int, ...] = ()
     update_alphamask_list: Tuple[int, ...] = ()
     lr_upsample_reset: bool = True
+    # mid-scene resume: checkpoint params + loop state + a scene snapshot at
+    # every stage boundary; a crashed run restarts from the last completed
+    # view (the reference can only restart from scratch, SURVEY §5)
+    resume: bool = False
 
 
 def _epoch_iters(n_rays: int, batch: int) -> int:
@@ -127,13 +131,26 @@ def reconstruction(
         for k, v in {**dataclasses.asdict(cfg), **dataclasses.asdict(scene_cfg)}.items():
             f.write(f"{k}:{v}\n")
 
-    with phase_timer("bootstrap", log):
-        scene = ss.bootstrap_scene(
-            scene_cfg, "train",
-            text2img=services.text2img, estimate_depth=services.estimate_depth,
+    resume_ckpt = os.path.join(logfolder, f"{cfg.expname}_resume.npz")
+    resume_snap = os.path.join(logfolder, "scene_snapshot.npz")
+    resume_state = None
+    if cfg.resume and os.path.exists(resume_ckpt) and os.path.exists(resume_snap):
+        mcfg, params, aabb, _, resume_state = ckpt.load_checkpoint(resume_ckpt)
+        scene = ss.load_scene_snapshot(
+            resume_snap, n_views_pools=resume_state["next_view"],
+            trans_range=scene_cfg.trans_range,
+            use_support_set=scene_cfg.use_support_set,
         )
+        log.scalars(0, {"resume_epoch": resume_state["epoch"]})
+    else:
+        with phase_timer("bootstrap", log):
+            scene = ss.bootstrap_scene(
+                scene_cfg, "train",
+                text2img=services.text2img,
+                estimate_depth=services.estimate_depth,
+            )
+        mcfg, params, aabb, _ = init_field(cfg, scene)
     white_bg = scene.white_bg
-    mcfg, params, aabb, _ = init_field(cfg, scene)
     reso = tf.grid_resolution(mcfg, params)
     n_samples = tf.default_n_samples(reso, mcfg.step_ratio, cfg.n_samples_cap)
 
@@ -167,6 +184,8 @@ def reconstruction(
     )
 
     n_views = scene.poses_gen.shape[0]
+    # n_stage2 = 0 → stage-1-only local scene fit (no diffusion in the
+    # loop; BASELINE config #2)
     n_epoch_stage2 = cfg.n_stage2 * (n_views - 1)
     n_total = cfg.n_stage1 + n_epoch_stage2
 
@@ -177,15 +196,32 @@ def reconstruction(
     sampler_new = None
     n_iters_epoch = n_iters_epoch1
     global_step = 0
+    start_epoch = 0
+    if resume_state is not None:
+        start_epoch = int(resume_state["epoch"])
+        view_idx = int(resume_state["next_view"]) - 1
+        tv_decay = float(resume_state.get("tv_decay", 1.0))
+        global_step = int(resume_state.get("global_step", 0))
 
-    for epoch in range(n_total + 10):
+    for epoch in range(start_epoch, n_total + 10):
         # --- stage-boundary: expand the scene ------------------------------
         if (
-            epoch >= cfg.n_stage1
+            cfg.n_stage2 > 0
+            and epoch >= cfg.n_stage1
             and (epoch - cfg.n_stage1) % cfg.n_stage2 == 0
             and epoch < n_total
         ):
             view_idx = (epoch - cfg.n_stage1) // cfg.n_stage2 + 1
+            if cfg.resume:
+                # stage-boundary resume point: loop state + scene snapshot
+                ss.save_scene_snapshot(resume_snap, scene)
+                ckpt.save_checkpoint(
+                    resume_ckpt, mcfg, state.params, aabb,
+                    loop_state={
+                        "epoch": epoch, "next_view": view_idx,
+                        "tv_decay": tv_decay, "global_step": global_step,
+                    },
+                )
             with phase_timer(f"expand_view_{view_idx}", log):
                 scene = exp.expand_scene(
                     view_idx, mcfg, state.params, scene, services,
@@ -317,7 +353,10 @@ def reconstruction(
         # --- periodic eval (text2nerf_main.py:618-625) -----------------------
         boundary = (
             (epoch + 1) % cfg.eval_every_epochs == 0
-            or (epoch + 1 - cfg.n_stage1) % cfg.n_stage2 == 0
+            or (
+                cfg.n_stage2 > 0
+                and (epoch + 1 - cfg.n_stage1) % cfg.n_stage2 == 0
+            )
             or epoch + 1 == cfg.n_stage1
         )
         if boundary and scene.rgbs_gen_split.shape[0] > 0:
