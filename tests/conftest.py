@@ -7,7 +7,11 @@ multi-chip path; bench.py runs on the real chip).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the host environment pre-sets JAX_PLATFORMS=axon (the real TPU
+# tunnel) and its sitecustomize imports jax at interpreter start, freezing
+# the env-derived default — so the platform must be overridden through
+# jax.config after import, not via os.environ.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,7 +19,10 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
-import jax
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 

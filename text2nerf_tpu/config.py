@@ -113,6 +113,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--render_test", type=int, default=0)
     p.add_argument("--render_path", type=int, default=0)
     p.add_argument("--export_mesh", type=int, default=0)
+    p.add_argument("--resume", type=int, default=0,
+                   help="resume a crashed run from the last stage boundary")
     # expansion
     p.add_argument("--frame_select_type", type=str, default="auto_cos")
     p.add_argument("--use_filter_filling_holes", action="store_true", default=True)
@@ -159,6 +161,9 @@ def to_configs(args):
         lr_decay_target_ratio=args.lr_decay_target_ratio,
         tv_weight_density=args.TV_weight_density,
         tv_weight_app=args.TV_weight_app,
+        l1_weight=args.L1_weight_inital,
+        ortho_weight=args.Ortho_weight,
+        resume=bool(args.resume),
         n_voxel_init=args.N_voxel_init,
         n_voxel_final=args.N_voxel_final,
         upsamp_list=tuple(args.upsamp_list),

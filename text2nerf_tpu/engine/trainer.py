@@ -17,7 +17,6 @@ scalars are mirrored by a JSONL metrics log (engine/tracing).
 from __future__ import annotations
 
 import dataclasses
-import math
 import os
 from typing import Optional, Tuple
 
@@ -53,6 +52,8 @@ class TrainConfig:
     lr_decay_target_ratio: float = 0.1
     tv_weight_density: float = 0.1
     tv_weight_app: float = 0.01
+    l1_weight: float = 0.0     # L1_weight_inital (e_opt.py:70-71)
+    ortho_weight: float = 0.0  # Ortho_weight (e_opt.py:74-75)
     n_voxel_init: int = 27_000_000
     n_samples_cap: int = 10 ** 6
     app_k: int = 64
@@ -175,7 +176,8 @@ def reconstruction(
     factor = ts.lr_factor(cfg.lr_decay_target_ratio, decay_iters)
 
     weights = ts.LossWeights(
-        tv_density=cfg.tv_weight_density, tv_app=cfg.tv_weight_app
+        tv_density=cfg.tv_weight_density, tv_app=cfg.tv_weight_app,
+        l1=cfg.l1_weight, ortho=cfg.ortho_weight,
     )
     state, tx = ts.make_train_state(params, cfg.lr_init, cfg.lr_basis, factor)
     step_fn = ts.make_train_step(

@@ -14,7 +14,6 @@ the registry falls back to procedural services when absent.
 
 from __future__ import annotations
 
-import functools
 import os
 from typing import List, Optional
 
@@ -121,6 +120,17 @@ class DiffusionPipeline:
     def _build_sampler(self, batch: int):
         sched = D.EulerSchedule.create(self.num_steps)
 
+        # candidate batch shards over the mesh's data axis (the reference
+        # generates num_images_per_prompt=5 candidates serially on one GPU,
+        # inpaint_sdm.py:71-74; here each device denoises its share)
+        batch_sharding = None
+        n_dev = jax.device_count()
+        if n_dev > 1 and batch % n_dev == 0:
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+            mesh = Mesh(np.array(jax.devices()), ("data",))
+            batch_sharding = NamedSharding(mesh, P("data"))
+
         @jax.jit
         def sample(params, rng, ctx_c, ctx_u, guidance, extra):
             h, w = self.hw
@@ -129,6 +139,10 @@ class DiffusionPipeline:
             latents = jax.random.normal(
                 rng, (batch, h // f, w // f, lat_c), jnp.float32
             )
+            if batch_sharding is not None:
+                latents = jax.lax.with_sharding_constraint(
+                    latents, batch_sharding
+                )
             ctx_c = jnp.broadcast_to(ctx_c, (batch, *ctx_c.shape[1:]))
             ctx_u = jnp.broadcast_to(ctx_u, (batch, *ctx_u.shape[1:]))
             z = D.denoise_loop(
