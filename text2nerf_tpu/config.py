@@ -11,8 +11,6 @@ values use ``[a,b,c]`` syntax like the reference config file
 from __future__ import annotations
 
 import argparse
-import dataclasses
-import re
 from typing import List, Optional
 
 from .models.tensorf import TensoRFConfig

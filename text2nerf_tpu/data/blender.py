@@ -11,14 +11,14 @@ from __future__ import annotations
 import json
 import math
 import os
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 import jax.numpy as jnp
 
 from ..ops import rays as ray_ops
 from . import io as scene_io
-from .scene_state import SceneState, test_ray_split
+from .scene_state import SceneState
 
 BLENDER2OPENCV = np.array(
     [[1, 0, 0, 0], [0, -1, 0, 0], [0, 0, -1, 0], [0, 0, 0, 1]], np.float64

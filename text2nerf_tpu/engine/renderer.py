@@ -68,6 +68,8 @@ def evaluation(
     push_depth: float = 2.0,
     near_far=(0.5, 8.0),
     lpips_weights_dir=None,
+    alpha_mask=None,
+    compact_k: int = 0,
 ):
     """Render a stack of views; compute metrics; optionally save pngs/mp4.
 
@@ -84,10 +86,14 @@ def evaluation(
         os.makedirs(os.path.join(save_path, "depths"), exist_ok=True)
 
     for idx in range(np.asarray(rays_split).shape[0]):
-        rgb, depth = render_view(
-            cfg, params, aabb, rays_split[idx], hw, n_samples=n_samples,
-            chunk=chunk, app_k=app_k, white_bg=white_bg, ndc=ndc,
+        out = render_ops.render_chunked(
+            cfg, params, aabb, jnp.asarray(rays_split[idx]),
+            n_samples=n_samples, chunk=chunk, app_k=app_k,
+            white_bg=white_bg, ndc=ndc, alpha_mask=alpha_mask,
+            compact_k=compact_k,
         )
+        rgb = np.asarray(jnp.clip(out.rgb, 0.0, 1.0)).reshape(hw[0], hw[1], 3)
+        depth = np.asarray(out.depth).reshape(hw[0], hw[1])
         depth_vis_in = np.maximum(depth - push_depth + 0.8, 0)
         depth_vis, _ = M.visualize_depth(depth_vis_in, near_far)
 

@@ -411,6 +411,9 @@ def render_test(cfg: TrainConfig, scene_cfg: ss.SceneConfig):
     text2nerf_main.py:29-65)."""
     assert cfg.ckpt and os.path.exists(cfg.ckpt), "checkpoint required"
     mcfg, params, aabb, alpha_mask, _ = ckpt.load_checkpoint(cfg.ckpt)
+    # a checkpointed alpha mask routes rendering through the compacted
+    # fast path (PERF.md)
+    compact_k = 64 if alpha_mask is not None else 0
     scene = ss.bootstrap_scene(scene_cfg, "test")
     reso = tf.grid_resolution(mcfg, params)
     n_samples = tf.default_n_samples(reso, mcfg.step_ratio, cfg.n_samples_cap)
@@ -424,6 +427,7 @@ def render_test(cfg: TrainConfig, scene_cfg: ss.SceneConfig):
             chunk=cfg.batch_size, app_k=cfg.app_k, white_bg=scene.white_bg,
             ndc=cfg.ndc_ray, video=True, push_depth=scene_cfg.push_depth,
             near_far=scene.near_far,
+            alpha_mask=alpha_mask, compact_k=compact_k,
         )
     if cfg.render_path:
         out["path"] = eval_renderer.evaluation_path(

@@ -14,7 +14,6 @@ import sys
 
 def main(argv=None):
     from . import config as cfg_mod
-    from .data import scene_state as ss
     from .engine import trainer
     from .services.registry import default_services
     from .utils.seeding import set_seed

@@ -16,13 +16,11 @@ services/weight_convert.py.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from .diffusion import Attention
 
 
 @dataclasses.dataclass(frozen=True)

@@ -9,7 +9,7 @@ raises, since a random-weight LPIPS is meaningless as a metric.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

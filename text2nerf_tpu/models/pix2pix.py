@@ -14,9 +14,8 @@ dtype; at 1024x1024x64 the 4x4 convs map directly onto the MXU.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
-import jax
 import jax.numpy as jnp
 import flax.linen as nn
 

@@ -13,7 +13,6 @@ clamped to the valid range (the callers mask out-of-AABB samples anyway).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 

@@ -16,7 +16,6 @@ inference is jitted at fixed sizes.
 
 from __future__ import annotations
 
-import math
 from typing import Callable, Dict, List, Optional, Tuple
 
 import numpy as np

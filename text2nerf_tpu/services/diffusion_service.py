@@ -14,7 +14,6 @@ the registry falls back to procedural services when absent.
 
 from __future__ import annotations
 
-import os
 from typing import List, Optional
 
 import jax
