@@ -407,6 +407,64 @@ def rocking_poses(c2w, angle_max=0.2, range_max=0.1, n_views=120, n_r=2):
     return np.stack(poses + poses[::-1])
 
 
+def pretraining_poses(
+    c2w_basis, range_center=0.2, range_yaw=20, range_pitch=15,
+    use_rand=False, angle_rand=5, posi_rand=0.05, rng=None,
+):
+    """9 poses with degree-valued yaw/pitch rotations and optional global +
+    per-pose jitter (get_pretraining_poses, scene_util.py:675-710)."""
+    rng = rng or np.random.default_rng(0)
+    rotvecs = {
+        "R": np.array([0, range_yaw, 0]), "L": np.array([0, -range_yaw, 0]),
+        "U": np.array([range_pitch, 0, 0]), "D": np.array([-range_pitch, 0, 0]),
+        "UR": np.array([range_pitch, range_yaw, 0]),
+        "UL": np.array([range_pitch, -range_yaw, 0]),
+        "DR": np.array([-range_pitch, range_yaw, 0]),
+        "DL": np.array([-range_pitch, -range_yaw, 0]),
+    }
+    _, posivecs = _compass_vectors(range_center, 0.0, 0.0)
+    c2w_basis = np.asarray(c2w_basis, np.float64)
+    if use_rand:
+        euler = 0.5 * angle_rand * (rng.random(3) * 2 - 1) / 180 * np.pi
+        jitter = np.eye(4)
+        jitter[:3, :3] = euler_to_rotation(euler)
+        jitter[:3, 3] = 0.5 * posi_rand * (rng.random(3) * 2 - 1)
+        c2w_basis = jitter @ c2w_basis
+    poses = [c2w_basis]
+    for d in ("R", "L", "U", "D", "UR", "UL", "DR", "DL"):
+        rot = rotvecs[d] / 180 * np.pi
+        posi = posivecs[d].astype(np.float64)
+        if use_rand:
+            rot = rot + 0.5 * angle_rand * (rng.random(3) * 2 - 1) / 180 * np.pi
+            posi = posi + 0.5 * posi_rand * (rng.random(3) * 2 - 1)
+        c2w = np.eye(4)
+        c2w[:3, :3] = euler_to_rotation(rot) @ c2w_basis[:3, :3]
+        c2w[:3, 3] = posi + c2w_basis[:3, 3]
+        poses.append(c2w)
+    return np.stack(poses).astype(np.float32)
+
+
+def circle_poses_from_basis_view(c2w, n_views=120, n_r=2):
+    """Look-at circle with 15-degree start offset
+    (get_circle_poses_from_basis_view, scene_util.py:713-746)."""
+    focal = 0.1
+    up = normalize(c2w[:3, 1])
+    center = c2w[:3, 3]
+    origin = center - focal * c2w[:3, 2]
+    alphas = np.linspace(0, 360 * n_r, n_views)
+    angle_h = 15.0
+    r = focal * np.sin(angle_h / 180 * np.pi)
+    poses = []
+    for alpha in alphas:
+        a = alpha / 180 * np.pi
+        b = center - focal * (1 - np.cos(angle_h / 180 * np.pi)) * normalize(
+            c2w[:3, 2]
+        )
+        c = b + r * (normalize(c2w[:3, 0]) * np.cos(a) - up * np.sin(a))
+        poses.append(viewmatrix(normalize(c - origin), up, c))
+    return np.stack(poses)
+
+
 def surround_poses(c2w_basis, num_poses=8, range_center=0.2):
     """Basis + N translated poses on a circle in the image plane
     (get_sprt_poses, scene_util.py:653-673)."""

@@ -76,6 +76,53 @@ def global_depth_alignment(
     return scale, shift
 
 
+def align_depth_pair(
+    depth_ref, depth_src, pose_ref, pose_src, intrinsic, max_samples=1000,
+    seed=0,
+):
+    """Warping-correspondence depth alignment (eliminate_depth_error,
+    scene_util.py:42-132): forward-warp the reference depth into the source
+    view, estimate a global scale from sampled point-pair distances and a
+    shift from the mean residual over covered pixels.
+
+    Returns (aligned_src_depth, uncertainty) where uncertainty is the
+    per-pixel residual on covered pixels and 0.1 elsewhere (:130).
+    """
+    from ..ops import splat as splat_ops
+
+    h, w = np.asarray(depth_ref).shape
+    rgb_dummy = jnp.zeros((h, w, 3), jnp.float32)
+    _, mask_w, depth_w = splat_ops.warp_one_to_many(
+        rgb_dummy, jnp.asarray(depth_ref), jnp.asarray(pose_ref),
+        jnp.asarray(pose_src)[None], intrinsic,
+    )
+    mask = np.asarray(mask_w[0]).astype(np.float32)
+    warped = np.asarray(depth_w[0])
+
+    rng = np.random.default_rng(seed)
+    ys, xs = np.nonzero(mask > 0)
+    if len(ys) < 2:
+        return np.asarray(depth_src, np.float32), np.full((h, w), 0.1, np.float32)
+    n = min(len(ys), max_samples)
+    sel = rng.choice(len(ys), n, replace=False)
+    ys, xs = ys[sel], xs[sel]
+    # scale from pairwise depth-difference ratios at corresponding pixels
+    dw = warped[ys, xs]
+    dsrc = np.asarray(depth_src)[ys, xs]
+    d1 = np.abs(np.diff(dw))
+    d2 = np.abs(np.diff(dsrc))
+    ok = (d1 > 1e-6) & np.isfinite(d2 / np.maximum(d1, 1e-12))
+    scale = float((d2[ok] / d1[ok]).mean()) if ok.any() else 1.0
+    # note the reference computes src/ref distance ratios then divides the
+    # src depth by nothing — it scales src by ref/src; we align src to ref:
+    scale = 1.0 / max(scale, 1e-6)
+    src_scaled = np.asarray(depth_src) * scale
+    shift = float(((src_scaled - warped) * mask).sum() / max(mask.sum(), 1))
+    aligned = src_scaled - shift
+    uncert = np.abs(aligned - warped) * mask + 0.1 * (1 - mask)
+    return aligned.astype(np.float32), uncert.astype(np.float32)
+
+
 def _update_known_views(
     view_idx, scene, services, ex, img_new, depth_new, my_map_f, seed
 ):

@@ -174,6 +174,16 @@ def aabb_slab_interval(rays_o, rays_d, aabb):
     return t_min, t_max
 
 
+def ndc_bbox(all_rays):
+    """AABB of the ray near/far points in NDC space (ndc_bbox,
+    ray_utils.py:269-275)."""
+    o = all_rays[..., :3].reshape(-1, 3)
+    far = (all_rays[..., :3] + all_rays[..., 3:6]).reshape(-1, 3)
+    lo = jnp.minimum(o.min(axis=0), far.min(axis=0))
+    hi = jnp.maximum(o.max(axis=0), far.max(axis=0))
+    return jnp.stack([lo, hi])
+
+
 def depth2dist(z_vals, cos_angle):
     """Sample depths → inter-sample distances scaled by ray angle
     (ray_utils.py:9-15)."""
