@@ -1,0 +1,51 @@
+"""The update_known_views branch: new content propagates into known views
+(text2nerf_main.py:300-377), end-to-end at tiny scale."""
+
+import numpy as np
+
+from text2nerf_tpu.data import scene_state as ss
+from text2nerf_tpu.engine import trainer, expansion
+from text2nerf_tpu.models import tensorf as tf
+from text2nerf_tpu.services import fallbacks
+from text2nerf_tpu.services.merge import DepthMergeService
+from text2nerf_tpu.services.registry import Services
+
+
+def test_update_known_views_branch(tmp_path):
+    hw = (32, 32)
+    scene_cfg = ss.SceneConfig(
+        datadir=str(tmp_path / "d"), prompt="ukv test",
+        pose_traj="circle0_40", num_training=3, hw=hw,
+        num_filter_iter=2, filter_size=(3, 3),
+    )
+    train_cfg = trainer.TrainConfig(
+        expname="u", basedir=str(tmp_path / "log"),
+        n_stage1=1, n_stage2=1, batch_size=256,
+        n_voxel_init=16 ** 3, app_k=8, eval_every_epochs=1000, seed=9,
+        model=tf.TensoRFConfig(
+            density_n_comp=(2, 2, 2), app_n_comp=(4, 4, 4), app_dim=6,
+            fea_pe=2, feature_c=16,
+        ),
+    )
+    services = Services(
+        text2img=lambda p, n="": fallbacks.procedural_text2img(p, n, hw=hw),
+        inpaint=fallbacks.diffusion_fill_inpaint,
+        estimate_depth=fallbacks.procedural_depth,
+        rank=fallbacks.histogram_rank,
+        merge=DepthMergeService(net_size=64, num_downs=6),
+    )
+    exp_cfg = expansion.ExpansionConfig(
+        prompt=scene_cfg.prompt, n_candidates=1, candidates_per_round=1,
+        merge_iters=2, chunk=256, app_k=8, trans_range=0.2,
+        update_known_views=True,
+    )
+    mcfg, params, aabb, scene, _ = trainer.reconstruction(
+        train_cfg, scene_cfg, services, exp_cfg
+    )
+    # all views produced, pools for every view present (including rebuilt
+    # pools for back-updated known views)
+    assert scene.rgbs_gen_split.shape[0] == 3
+    assert set(scene.updates) == {"00000", "00001", "00002"}
+    assert np.isfinite(scene.depth_gen_split).all()
+    for k, (rays, rgbs, depths) in scene.updates.items():
+        assert len(rays) == len(rgbs) == len(depths)
