@@ -463,10 +463,12 @@ def compute_alpha(cfg: TensoRFConfig, params, aabb, xyz, length, alpha=None):
     """Opacity 1 - exp(-sigma * length) at world points (tensorBase.py:413-433).
 
     ``alpha`` is an optional (alpha_volume, alpha_aabb) mask tuple; points
-    with zero mask get sigma = 0.
+    with zero mask get sigma = 0.  Uses the corner-packed gather fast path
+    (packing fuses into the same jit region).
     """
     xn = jnp.clip(normalize_coord(aabb, xyz), -1.0, 1.0)
-    sigma = feature2density(cfg, compute_density_feature(cfg, params, xn))
+    packed = pack_params(cfg, params)
+    sigma = feature2density(cfg, compute_density_feature_packed(cfg, packed, xn))
     if alpha is not None:
         sigma = sigma * (sample_alpha_mask(alpha, xyz) > 0)
     return 1.0 - jnp.exp(-sigma * length)
@@ -494,9 +496,20 @@ def dense_alpha(cfg: TensoRFConfig, params, aabb, grid_size, step, chunk=64 ** 3
     aabb = jnp.asarray(aabb)
     dense_xyz = aabb[0] * (1 - grid) + aabb[1] * grid
     flat = dense_xyz.reshape(-1, 3)
+
+    @jax.jit
+    def alpha_chunk(p, pts, a, st):
+        return compute_alpha(cfg, p, a, pts, st)
+
     outs = []
-    for s in range(0, flat.shape[0], chunk):
-        outs.append(compute_alpha(cfg, params, aabb, flat[s : s + chunk], step))
+    n = flat.shape[0]
+    for s in range(0, n, chunk):
+        part = flat[s : s + chunk]
+        pad = chunk - part.shape[0]
+        if pad:
+            part = jnp.concatenate([part, jnp.zeros((pad, 3), part.dtype)], 0)
+        out = alpha_chunk(params, part, aabb, step)
+        outs.append(out[: chunk - pad] if pad else out)
     return jnp.concatenate(outs).reshape(gx, gy, gz), dense_xyz
 
 
