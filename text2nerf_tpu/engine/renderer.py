@@ -70,11 +70,14 @@ def evaluation(
     lpips_weights_dir=None,
     alpha_mask=None,
     compact_k: int = 0,
+    n_vis: int = -1,
 ):
     """Render a stack of views; compute metrics; optionally save pngs/mp4.
 
     Mirrors evaluation (renderer.py:45-140) including the depth
-    visualization shift ``depth - push_depth + 0.8`` (renderer.py:94).
+    visualization shift ``depth - push_depth + 0.8`` (renderer.py:94) and
+    the N_vis view subsampling rule (renderer.py:83-84): with ``n_vis > 0``
+    only every ``len(views) // n_vis``-th view is rendered.
 
     Returns dict with 'psnr' list (+ 'ssim'/'lpips' if requested) and the
     rendered stacks.
@@ -85,7 +88,10 @@ def evaluation(
         os.makedirs(os.path.join(save_path, "rgbs"), exist_ok=True)
         os.makedirs(os.path.join(save_path, "depths"), exist_ok=True)
 
-    for idx in range(np.asarray(rays_split).shape[0]):
+    n_views = np.asarray(rays_split).shape[0]
+    interval = 1 if n_vis < 0 else max(n_views // n_vis, 1)
+
+    for idx in range(0, n_views, interval):
         out = render_ops.render_chunked(
             cfg, params, aabb, jnp.asarray(rays_split[idx]),
             n_samples=n_samples, chunk=chunk, app_k=app_k,
