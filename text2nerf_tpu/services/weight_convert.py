@@ -72,6 +72,25 @@ def load_torch_checkpoint(path: str) -> Optional[Dict[str, np.ndarray]]:
     return None
 
 
+def patchgan_name_map(n_layers: int = 3) -> Dict[str, str]:
+    """torch→Flax name map for the PatchGAN discriminator.
+
+    The torch module (NLayerDiscriminator, merge_model_sc/networks.py:546+)
+    is a flat nn.Sequential of Conv2d/LeakyReLU: conv layers sit at indices
+    0, 2, 4, ... (stride-2 stack), then the stride-1 conv and the 1-channel
+    head.  Our Flax PatchDiscriminator names them Conv_0..Conv_{n+1}.
+    """
+    name_map = {}
+    # sequential indices of the Conv2d layers: first conv at 0, then each
+    # (conv, leaky) pair advances by 2 (norm='none' in the merge config)
+    torch_idx = 0
+    for flax_idx in range(n_layers + 2):
+        name_map[f"model.{torch_idx}.weight"] = f"Conv_{flax_idx}/kernel"
+        name_map[f"model.{torch_idx}.bias"] = f"Conv_{flax_idx}/bias"
+        torch_idx += 2
+    return name_map
+
+
 def save_converted(path: str, tree: dict):
     from ..engine.checkpoints import _flatten
 
