@@ -51,13 +51,29 @@ class DepthMergeService:
         self.model = UnetGenerator(
             input_nc=1, output_nc=1, num_downs=num_downs, dtype=compute_dtype
         )
+        init_params = self.model.init(
+            jax.random.PRNGKey(seed),
+            jnp.zeros((1, net_size, net_size, 1), jnp.float32),
+        )["params"]
         if ckpt_path is not None and os.path.exists(ckpt_path):
-            self.base_params = _load_params(ckpt_path)
+            if ckpt_path.endswith((".pth", ".pt", ".tar", ".safetensors")):
+                # the reference's torch checkpoint (epoch_00440,
+                # merge_model_single_channel.py:16-21) — conversion path
+                # verified in tests/test_weight_convert_unet.py
+                from .weight_convert import (
+                    convert_torch_state_dict, fill_missing_params,
+                    load_torch_checkpoint, unet_generator_name_map,
+                )
+
+                state = load_torch_checkpoint(ckpt_path)
+                tree = convert_torch_state_dict(
+                    state, unet_generator_name_map(num_downs)
+                )
+                self.base_params = fill_missing_params(tree, init_params)
+            else:
+                self.base_params = _load_params(ckpt_path)
         else:
-            self.base_params = self.model.init(
-                jax.random.PRNGKey(seed),
-                jnp.zeros((1, net_size, net_size, 1), jnp.float32),
-            )["params"]
+            self.base_params = init_params
         self._finetune_fn = None
 
     # -- core API ------------------------------------------------------------

@@ -27,12 +27,18 @@ from typing import Dict, Optional
 import numpy as np
 
 
-def convert_tensor(name: str, arr: np.ndarray) -> np.ndarray:
-    """Apply the layout transpose implied by the parameter name/shape."""
+def convert_tensor(name: str, arr: np.ndarray, is_transpose: bool = False):
+    """Apply the layout transpose implied by the parameter name/shape.
+
+    Verified against torch (tests/test_weight_convert.py):
+    - Conv2d (O, I, kh, kw) → HWIO;
+    - ConvTranspose2d (I, O, kh, kw) → (kh, kw, I, O) with a spatial flip
+      (flax ConvTranspose does not flip the kernel; torch's is the
+      conv gradient) — exact to 1e-7.
+    """
     if arr.ndim == 4:
-        if "transpose" in name or "up." in name and "conv" in name:
-            # ConvTranspose2d: (I, O, kh, kw) → (kh, kw, O, I), flipped
-            return arr.transpose(2, 3, 1, 0)[::-1, ::-1]
+        if is_transpose:
+            return np.ascontiguousarray(arr.transpose(2, 3, 0, 1)[::-1, ::-1])
         return arr.transpose(2, 3, 1, 0)  # Conv2d → HWIO
     if arr.ndim == 2 and ("weight" in name or name.endswith(".w")):
         return arr.T
@@ -42,18 +48,79 @@ def convert_tensor(name: str, arr: np.ndarray) -> np.ndarray:
 def convert_torch_state_dict(
     state_dict: Dict[str, np.ndarray], name_map: Dict[str, str]
 ) -> dict:
-    """state_dict + {torch_name: flax/path/name} → nested Flax tree."""
+    """state_dict + {torch_name: flax/path/name} → nested Flax tree.
+
+    A flax path prefixed ``convT:`` marks a ConvTranspose2d weight (needs
+    the flip+transpose layout, see convert_tensor).
+    """
     tree: dict = {}
     for tname, fpath in name_map.items():
         if tname not in state_dict:
             continue
-        arr = convert_tensor(tname, np.asarray(state_dict[tname]))
+        is_t = fpath.startswith("convT:")
+        if is_t:
+            fpath = fpath[len("convT:"):]
+        arr = convert_tensor(tname, np.asarray(state_dict[tname]), is_t)
         node = tree
         parts = fpath.split("/")
         for p in parts[:-1]:
             node = node.setdefault(p, {})
         node[parts[-1]] = arr
     return tree
+
+
+def fill_missing_params(tree: dict, reference_params) -> dict:
+    """Complete a converted tree with zeros for parameters absent from the
+    torch checkpoint (e.g. bias-free convs under norm='none' — our Flax
+    convs always carry biases)."""
+    import jax
+    import jax.numpy as jnp
+
+    def merge(ref, got):
+        if isinstance(ref, dict):
+            return {
+                k: merge(v, (got or {}).get(k) if isinstance(got, dict) else None)
+                for k, v in ref.items()
+            }
+        if got is None:
+            return jnp.zeros_like(ref)
+        return jnp.asarray(got)
+
+    return merge(reference_params, tree)
+
+
+def unet_generator_name_map(num_downs: int = 10) -> Dict[str, str]:
+    """torch→Flax map for the pix2pix UnetGenerator under norm='none'
+    (merge_model_sc/networks.py:444-543; Identity norm modules occupy
+    Sequential indices).
+
+    torch nesting: the outermost block is ``model``; each submodule sits at
+    Sequential index 1 (outermost) or 3 (inner blocks).  Our Flax blocks are
+    registered flat as UnetSkipBlock_{i} with i=0 the innermost.
+    """
+    name_map = {}
+    n_blocks = max(num_downs, 5)  # innermost + (num_downs-5) middles + 3 + outermost
+
+    node = "model"  # the outermost block's Sequential attribute
+    for depth in range(n_blocks):
+        flax_i = n_blocks - 1 - depth
+        outermost = depth == 0
+        innermost = depth == n_blocks - 1
+        if outermost:
+            down, up = f"{node}.0", f"{node}.3"
+            node = f"{node}.1"  # submodule at Sequential index 1
+        elif innermost:
+            down, up = f"{node}.model.1", f"{node}.model.3"
+        else:
+            down, up = f"{node}.model.1", f"{node}.model.5"
+            node = f"{node}.model.3"  # submodule at Sequential index 3
+        name_map[down + ".weight"] = f"UnetSkipBlock_{flax_i}/Conv_0/kernel"
+        name_map[down + ".bias"] = f"UnetSkipBlock_{flax_i}/Conv_0/bias"
+        name_map[up + ".weight"] = (
+            f"convT:UnetSkipBlock_{flax_i}/ConvTranspose_0/kernel"
+        )
+        name_map[up + ".bias"] = f"UnetSkipBlock_{flax_i}/ConvTranspose_0/bias"
+    return name_map
 
 
 def load_torch_checkpoint(path: str) -> Optional[Dict[str, np.ndarray]]:
