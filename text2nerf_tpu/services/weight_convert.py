@@ -158,6 +158,20 @@ def patchgan_name_map(n_layers: int = 3) -> Dict[str, str]:
     return name_map
 
 
+def lpips_alex_name_map() -> Dict[str, str]:
+    """torch→Flax map for LPIPS-alex: the torchvision AlexNet conv stack
+    (features.{0,3,6,8,10}) + the lpips linear heads (lin{0..4}.model.1,
+    1x1 convs)."""
+    conv_idx = [0, 3, 6, 8, 10]
+    name_map = {}
+    for i, t in enumerate(conv_idx):
+        name_map[f"features.{t}.weight"] = f"features/Conv_{i}/kernel"
+        name_map[f"features.{t}.bias"] = f"features/Conv_{i}/bias"
+    for i in range(5):
+        name_map[f"lin{i}.model.1.weight"] = f"lins/{i}"
+    return name_map
+
+
 def save_converted(path: str, tree: dict):
     from ..engine.checkpoints import _flatten
 
