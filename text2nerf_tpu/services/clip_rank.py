@@ -37,11 +37,34 @@ def make_clip_ranker(weights_path: str, logit_scale: float = 100.0):
     from ..models.clip import CLIPVisionEncoder, CLIPVisionConfig, cosine_scores
     from .weight_convert import load_converted
 
-    model = CLIPVisionEncoder(CLIPVisionConfig.vit_b32())
+    cfg = CLIPVisionConfig.vit_b32()
+    model = CLIPVisionEncoder(cfg)
+    params = None
     converted = load_converted(weights_path)
     if converted is not None and "vision" in converted:
         params = converted["vision"]
     else:
+        # HF checkpoint directory (clip-vit-base-patch32 layout)
+        import os
+
+        from .weight_convert import (
+            clip_vision_name_map, convert_torch_state_dict,
+            fill_missing_params, load_torch_checkpoint,
+        )
+
+        for fname in ("model.safetensors", "pytorch_model.bin"):
+            path = os.path.join(weights_path, fname)
+            state = load_torch_checkpoint(path)
+            if state is not None:
+                ref = model.init(
+                    jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3))
+                )["params"]
+                tree = convert_torch_state_dict(
+                    state, clip_vision_name_map(cfg.layers)
+                )
+                params = fill_missing_params(tree, ref)
+                break
+    if params is None:
         params = model.init(
             jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3))
         )["params"]

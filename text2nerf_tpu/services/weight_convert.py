@@ -50,8 +50,9 @@ def convert_torch_state_dict(
 ) -> dict:
     """state_dict + {torch_name: flax/path/name} → nested Flax tree.
 
-    A flax path prefixed ``convT:`` marks a ConvTranspose2d weight (needs
-    the flip+transpose layout, see convert_tensor).
+    Flax-path markers: ``convT:`` = ConvTranspose2d weight (flip+transpose
+    layout); ``raw:`` = no layout change (embedding tables and other
+    2D ".weight" tensors that are not Linear matrices).
     """
     tree: dict = {}
     for tname, fpath in name_map.items():
@@ -60,7 +61,11 @@ def convert_torch_state_dict(
         is_t = fpath.startswith("convT:")
         if is_t:
             fpath = fpath[len("convT:"):]
-        arr = convert_tensor(tname, np.asarray(state_dict[tname]), is_t)
+        if fpath.startswith("raw:"):
+            fpath = fpath[len("raw:"):]
+            arr = np.asarray(state_dict[tname])
+        else:
+            arr = convert_tensor(tname, np.asarray(state_dict[tname]), is_t)
         node = tree
         parts = fpath.split("/")
         for p in parts[:-1]:
@@ -170,6 +175,49 @@ def lpips_alex_name_map() -> Dict[str, str]:
     for i in range(5):
         name_map[f"lin{i}.model.1.weight"] = f"lins/{i}"
     return name_map
+
+
+def clip_vision_name_map(layers: int = 12) -> Dict[str, str]:
+    """torch→Flax map for the HF CLIP vision tower + visual projection
+    (clip-vit-base-patch32, used for candidate ranking,
+    text2nerf_main.py:25-26).
+
+    Flax side: models/clip.CLIPVisionEncoder (Conv_0 patch embed,
+    class/positional embeddings, ln_pre, TransformerLayer_{i} with
+    LayerNorm_0 → MaskedAttention_0(Dense_0..3 = q,k,v,out) → LayerNorm_1 →
+    Dense_0/Dense_1 MLP, ln_post, visual_projection).
+    """
+    m = {
+        "vision_model.embeddings.patch_embedding.weight": "Conv_0/kernel",
+        "vision_model.embeddings.class_embedding": "class_embedding",
+        "vision_model.embeddings.position_embedding.weight":
+            "raw:positional_embedding",
+        # HF's layer name carries the typo "pre_layrnorm"
+        "vision_model.pre_layrnorm.weight": "ln_pre/scale",
+        "vision_model.pre_layrnorm.bias": "ln_pre/bias",
+        "vision_model.post_layernorm.weight": "ln_post/scale",
+        "vision_model.post_layernorm.bias": "ln_post/bias",
+        "visual_projection.weight": "visual_projection/kernel",
+    }
+    for i in range(layers):
+        t = f"vision_model.encoder.layers.{i}"
+        f = f"TransformerLayer_{i}"
+        m[f"{t}.layer_norm1.weight"] = f"{f}/LayerNorm_0/scale"
+        m[f"{t}.layer_norm1.bias"] = f"{f}/LayerNorm_0/bias"
+        for j, proj in enumerate(("q_proj", "k_proj", "v_proj", "out_proj")):
+            m[f"{t}.self_attn.{proj}.weight"] = (
+                f"{f}/MaskedAttention_0/Dense_{j}/kernel"
+            )
+            m[f"{t}.self_attn.{proj}.bias"] = (
+                f"{f}/MaskedAttention_0/Dense_{j}/bias"
+            )
+        m[f"{t}.layer_norm2.weight"] = f"{f}/LayerNorm_1/scale"
+        m[f"{t}.layer_norm2.bias"] = f"{f}/LayerNorm_1/bias"
+        m[f"{t}.mlp.fc1.weight"] = f"{f}/Dense_0/kernel"
+        m[f"{t}.mlp.fc1.bias"] = f"{f}/Dense_0/bias"
+        m[f"{t}.mlp.fc2.weight"] = f"{f}/Dense_1/kernel"
+        m[f"{t}.mlp.fc2.bias"] = f"{f}/Dense_1/bias"
+    return m
 
 
 def save_converted(path: str, tree: dict):
