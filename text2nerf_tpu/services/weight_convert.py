@@ -220,6 +220,52 @@ def clip_vision_name_map(layers: int = 12) -> Dict[str, str]:
     return m
 
 
+def clip_text_name_map(layers: int = 12) -> Dict[str, str]:
+    """torch→Flax map for the HF CLIP text tower + text projection (the SD
+    conditioning encoder and the ranking text side).
+
+    The penultimate-layer LayerNorm our encoder exposes as ``ln_skip``
+    (skip_last_layers > 0) has no torch counterpart — HF applies the same
+    final_layer_norm — so those weights map to both ln_final and ln_skip.
+    """
+    m = {
+        "text_model.embeddings.token_embedding.weight": "raw:Embed_0/embedding",
+        "text_model.embeddings.position_embedding.weight":
+            "raw:positional_embedding",
+        "text_model.final_layer_norm.weight": "ln_final/scale",
+        "text_model.final_layer_norm.bias": "ln_final/bias",
+        "text_projection.weight": "text_projection/kernel",
+    }
+    for i in range(layers):
+        t = f"text_model.encoder.layers.{i}"
+        f = f"TransformerLayer_{i}"
+        m[f"{t}.layer_norm1.weight"] = f"{f}/LayerNorm_0/scale"
+        m[f"{t}.layer_norm1.bias"] = f"{f}/LayerNorm_0/bias"
+        for j, proj in enumerate(("q_proj", "k_proj", "v_proj", "out_proj")):
+            m[f"{t}.self_attn.{proj}.weight"] = (
+                f"{f}/MaskedAttention_0/Dense_{j}/kernel"
+            )
+            m[f"{t}.self_attn.{proj}.bias"] = (
+                f"{f}/MaskedAttention_0/Dense_{j}/bias"
+            )
+        m[f"{t}.layer_norm2.weight"] = f"{f}/LayerNorm_1/scale"
+        m[f"{t}.layer_norm2.bias"] = f"{f}/LayerNorm_1/bias"
+        m[f"{t}.mlp.fc1.weight"] = f"{f}/Dense_0/kernel"
+        m[f"{t}.mlp.fc1.bias"] = f"{f}/Dense_0/bias"
+        m[f"{t}.mlp.fc2.weight"] = f"{f}/Dense_1/kernel"
+        m[f"{t}.mlp.fc2.bias"] = f"{f}/Dense_1/bias"
+    return m
+
+
+def convert_clip_text(state_dict, layers: int, reference_params):
+    """Convert an HF CLIP text checkpoint; duplicates the final LayerNorm
+    into ln_skip when the target encoder exposes the penultimate layer."""
+    tree = convert_torch_state_dict(state_dict, clip_text_name_map(layers))
+    if "ln_final" in tree and "ln_skip" in reference_params:
+        tree["ln_skip"] = dict(tree["ln_final"])
+    return fill_missing_params(tree, reference_params)
+
+
 def save_converted(path: str, tree: dict):
     from ..engine.checkpoints import _flatten
 
