@@ -69,6 +69,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--angle", type=float, default=0.2)
     p.add_argument("--trans_range", type=float, default=0.2)
     p.add_argument("--push_depth", type=float, default=2.0)
+    p.add_argument("--num_sprt_poses", type=int, default=8)
+    p.add_argument("--dist_sprt_poses", type=float, default=0.2)
     p.add_argument("--regen_pose", action="store_true", default=True)
     p.add_argument("--use_support_set", action="store_true", default=True)
     p.add_argument("--hw", type=int, nargs=2, default=[512, 512])
