@@ -74,9 +74,11 @@ def main():
 
     chunk = 16384
     n_views = 4  # distinct inputs per dispatch (defeats buffer-result caching)
+    # n_views + 1 poses: the last is warm-up only, so every timed dispatch
+    # sees input buffers the TPU server has never deduped before.
     all_rays = [
         jnp.concatenate(R.rays_from_pose(dirs, jnp.asarray(poses[i])), -1)
-        for i in range(n_views)
+        for i in range(n_views + 1)
     ]
 
     def render_view(rays):
@@ -89,8 +91,8 @@ def main():
             outs.append(out.rgb)
         return outs
 
-    # warm up / compile
-    np.asarray(render_view(all_rays[0])[-1])
+    # warm up / compile on a pose outside the timed set
+    np.asarray(render_view(all_rays[n_views])[-1])
 
     t0 = time.time()
     for i in range(n_views):

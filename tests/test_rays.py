@@ -76,3 +76,59 @@ def test_sample_pdf_deterministic_monotone(rng):
     assert samples.shape == (4, 16)
     assert (np.diff(samples, axis=-1) >= -1e-6).all()
     assert (samples >= 0).all() and (samples <= 1).all()
+
+
+def _ndc_reference(h, w, focal, near, rays_o, rays_d, blender):
+    """Literal numpy transcription of ray_utils.py:90-126."""
+    rays_o = rays_o.copy()
+    if blender:
+        t = -(near + rays_o[..., 2]) / rays_d[..., 2]
+    else:
+        t = (near - rays_o[..., 2]) / rays_d[..., 2]
+    rays_o = rays_o + t[..., None] * rays_d
+    s = -1.0 if blender else 1.0
+    o0 = s / (w / (2.0 * focal)) * rays_o[..., 0] / rays_o[..., 2]
+    o1 = s / (h / (2.0 * focal)) * rays_o[..., 1] / rays_o[..., 2]
+    d0 = s / (w / (2.0 * focal)) * (
+        rays_d[..., 0] / rays_d[..., 2] - rays_o[..., 0] / rays_o[..., 2]
+    )
+    d1 = s / (h / (2.0 * focal)) * (
+        rays_d[..., 1] / rays_d[..., 2] - rays_o[..., 1] / rays_o[..., 2]
+    )
+    if blender:
+        o2 = 1.0 + 2.0 * near / rays_o[..., 2]
+        d2 = -2.0 * near / rays_o[..., 2]
+    else:
+        o2 = 1.0 - 2.0 * near / rays_o[..., 2]
+        d2 = 2.0 * near / rays_o[..., 2]
+    return (
+        np.stack([o0, o1, o2], -1),
+        np.stack([d0, d1, d2], -1),
+    )
+
+
+def test_ndc_rays_both_conventions(rng):
+    h, w, focal, near = 12, 16, 20.0, 1.0
+    o = rng.normal(size=(64, 3)).astype(np.float32)
+    d = rng.normal(size=(64, 3)).astype(np.float32)
+    # blender convention looks down -z; standard down +z
+    for blender in (True, False):
+        dz = -np.abs(d[:, 2]) - 0.3 if blender else np.abs(d[:, 2]) + 0.3
+        dd = np.concatenate([d[:, :2], dz[:, None]], -1)
+        oo = o.copy()
+        oo[:, 2] = (np.abs(o[:, 2]) + 2.0) * (-1.0 if blender else 1.0)
+        ro, rd = R.ndc_rays(
+            h, w, focal, near, jnp.asarray(oo), jnp.asarray(dd),
+            blender=blender,
+        )
+        eo, ed = _ndc_reference(h, w, focal, near, oo, dd, blender)
+        np.testing.assert_allclose(np.asarray(ro), eo, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(rd), ed, atol=2e-5)
+        # a point at the near plane maps to ndc z = -1 (o2 = 1 - 2n/n)
+        if not blender:
+            onear = np.array([[0.0, 0.0, near]], np.float32)
+            dnear = np.array([[0.0, 0.0, 1.0]], np.float32)
+            ro2, _ = R.ndc_rays(
+                h, w, focal, near, jnp.asarray(onear), jnp.asarray(dnear)
+            )
+            np.testing.assert_allclose(float(ro2[0, 2]), -1.0, atol=1e-6)

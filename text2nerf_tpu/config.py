@@ -69,10 +69,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--angle", type=float, default=0.2)
     p.add_argument("--trans_range", type=float, default=0.2)
     p.add_argument("--push_depth", type=float, default=2.0)
-    p.add_argument("--num_sprt_poses", type=int, default=8)
-    p.add_argument("--dist_sprt_poses", type=float, default=0.2)
-    p.add_argument("--regen_pose", action="store_true", default=True)
-    p.add_argument("--use_support_set", action="store_true", default=True)
+    p.add_argument("--num_sprt_poses", type=int, default=8,
+                   help="accepted for CLI parity with the reference "
+                   "(e_opt.py:24); support poses are the fixed 8-direction "
+                   "compass set, as in the reference, which never reads it")
+    p.add_argument("--dist_sprt_poses", type=float, default=0.2,
+                   help="accepted for CLI parity with the reference "
+                   "(e_opt.py:25); never read — trans_range controls "
+                   "support-pose distance")
+    p.add_argument("--regen_pose", action=argparse.BooleanOptionalAction,
+                   default=True)
+    p.add_argument("--use_support_set", action=argparse.BooleanOptionalAction,
+                   default=True)
     p.add_argument("--hw", type=int, nargs=2, default=[512, 512])
     # lr / losses
     p.add_argument("--lr_init", type=float, default=0.02)
@@ -117,8 +125,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="resume a crashed run from the last stage boundary")
     # expansion
     p.add_argument("--frame_select_type", type=str, default="auto_cos")
-    p.add_argument("--use_filter_filling_holes", action="store_true", default=True)
-    p.add_argument("--use_rendered_img_to_warp", action="store_true", default=True)
+    p.add_argument("--use_filter_filling_holes",
+                   action=argparse.BooleanOptionalAction, default=True)
+    p.add_argument("--use_rendered_img_to_warp",
+                   action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--update_known_views", action="store_true", default=False)
     return p
 

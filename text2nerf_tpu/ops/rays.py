@@ -121,14 +121,14 @@ def ndc_rays(h: int, w: int, focal, near, rays_o, rays_d, blender: bool = False)
 
     o0 = sgn / (w / (2.0 * focal)) * rays_o[..., 0] / rays_o[..., 2]
     o1 = sgn / (h / (2.0 * focal)) * rays_o[..., 1] / rays_o[..., 2]
-    o2 = 1.0 + sgn * 2.0 * near / rays_o[..., 2]
+    o2 = 1.0 - sgn * 2.0 * near / rays_o[..., 2]
     d0 = sgn / (w / (2.0 * focal)) * (
         rays_d[..., 0] / rays_d[..., 2] - rays_o[..., 0] / rays_o[..., 2]
     )
     d1 = sgn / (h / (2.0 * focal)) * (
         rays_d[..., 1] / rays_d[..., 2] - rays_o[..., 1] / rays_o[..., 2]
     )
-    d2 = -sgn * 2.0 * near / rays_o[..., 2]
+    d2 = sgn * 2.0 * near / rays_o[..., 2]
     return jnp.stack([o0, o1, o2], -1), jnp.stack([d0, d1, d2], -1)
 
 

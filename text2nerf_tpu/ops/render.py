@@ -229,13 +229,18 @@ def render_rays_compact(
 ) -> RenderOutput:
     """Eval renderer with alpha-mask sample compaction.
 
-    Exact under the reference's alpha-mask culling semantics
-    (tensorBase.py:451-456: sigma = 0 where the mask is 0): excluded
-    samples contribute alpha = 0, so compositing over the first
-    ``compact_k`` occupied samples per ray equals the dense product.
-    Feature gathers run only on B*K rows instead of B*S — the main
-    throughput lever once a trained field has a tight occupancy mask
-    (see PERF.md).
+    Matches the reference's alpha-mask culling semantics
+    (tensorBase.py:451-456: sigma = 0 where the mask is 0) for rays with
+    at most ``compact_k`` mask-occupied samples: excluded samples
+    contribute alpha = 0, so compositing over the first ``compact_k``
+    occupied samples per ray equals the dense product.  Rays with MORE
+    than ``compact_k`` occupied samples have their tail truncated
+    (dropped alpha; white background fills the missing acc) — raise
+    ``compact_k`` if the scene's occupancy along rays exceeds it; the
+    ``app_k`` top-K can additionally drop above-threshold appearance
+    samples.  Feature gathers run only on B*K rows instead of B*S — the
+    main throughput lever once a trained field has a tight occupancy
+    mask (see PERF.md).
     """
     aabb = jnp.asarray(aabb)
     rays_o, rays_d = rays[:, :3], rays[:, 3:6]
