@@ -88,3 +88,29 @@ def test_permutation_sampler_covers_pool():
         assert len(ids) == 32
         seen.update(int(i) for i in ids)
     assert len(seen) > 90  # reshuffles cover the pool
+
+
+def test_depth_loss_type_selection():
+    """--type_depth_loss changes the depth term (e_opt.py:20; 'ssi' adds the
+    fitted scale/shift to the metrics, text2nerf_main.py:610-611)."""
+    params = tf.init_params(jax.random.PRNGKey(0), CFG, GRID)
+    batch = _scene_batch()
+    key = jax.random.PRNGKey(2)
+    vals = {}
+    for kind in ("mse", "ssi", "silog"):
+        state, tx = ts.make_train_state(params, factor=1.0)
+        step = ts.make_train_step(
+            CFG, tx, n_samples=48, app_k=16, white_bg=True,
+            depth_loss_type=kind,
+        )
+        state, metrics = step(state, AABB, batch, key)
+        vals[kind] = float(metrics["depth_loss"])
+        assert np.isfinite(vals[kind])
+        if kind == "ssi":
+            assert np.isfinite(float(metrics["ssi_s"]))
+            assert np.isfinite(float(metrics["ssi_t"]))
+        else:
+            assert "ssi_s" not in metrics
+    # the three depth objectives measure different things
+    assert vals["mse"] != vals["ssi"]
+    assert vals["mse"] != vals["silog"]

@@ -120,6 +120,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--render_only", type=int, default=0)
     p.add_argument("--render_test", type=int, default=0)
     p.add_argument("--render_path", type=int, default=0)
+    p.add_argument("--render_train", type=int, default=0)
+    p.add_argument("--type_depth_loss", type=str, default="mse",
+                   choices=["mse", "ssi", "silog"])
+    p.add_argument("--eval_compact_k", type=int, default=64,
+                   help="alpha-mask sample compaction for eval renders "
+                   "(0 = dense path)")
     p.add_argument("--export_mesh", type=int, default=0)
     p.add_argument("--resume", type=int, default=0,
                    help="resume a crashed run from the last stage boundary")
@@ -182,6 +188,9 @@ def to_configs(args):
         app_k=args.app_k, ndc_ray=bool(args.ndc_ray),
         ckpt=args.ckpt,
         render_test=bool(args.render_test), render_path=bool(args.render_path),
+        render_train=bool(args.render_train),
+        depth_loss_type=args.type_depth_loss,
+        eval_compact_k=args.eval_compact_k,
         seed=args.seed, model=model,
     )
     scene = SceneConfig(

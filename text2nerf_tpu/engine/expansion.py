@@ -238,12 +238,18 @@ def expand_scene(
     n_samples: int,
     white_bg: bool = False,
     seed: int = 0,
+    alpha_mask=None,
+    compact_k: int = 0,
 ) -> ss.SceneState:
     """Complete view ``view_idx`` of the trajectory and update the scene.
 
     Mirrors render_warping_inapinting's default path (update_known_views
     off, text2nerf_main.py:658).  Returns the updated SceneState (the new
     view appended to gen splits + its support ray pool in .updates).
+
+    With ``alpha_mask`` + ``compact_k`` the known-view and target renders
+    go through the compacted fast path (render_rays_compact) — the trainer
+    rebuilds the mask at each stage boundary.
     """
     h, w = scene.hw
     aabb = jnp.asarray(scene.scene_bbox)
@@ -257,7 +263,7 @@ def expand_scene(
             out = render_ops.render_chunked(
                 cfg_model, params, aabb, jnp.asarray(scene.rays_gen_split[n]),
                 n_samples=n_samples, chunk=ex.chunk, app_k=ex.app_k,
-                white_bg=white_bg,
+                white_bg=white_bg, alpha_mask=alpha_mask, compact_k=compact_k,
             )
             rgb = np.asarray(jnp.clip(out.rgb, 0, 1)).reshape(h, w, 3)
             depth = np.asarray(out.depth).reshape(h, w)
@@ -305,6 +311,7 @@ def expand_scene(
     out = render_ops.render_chunked(
         cfg_model, params, aabb, jnp.asarray(scene.rays_gen_split[view_idx]),
         n_samples=n_samples, chunk=ex.chunk, app_k=ex.app_k, white_bg=white_bg,
+        alpha_mask=alpha_mask, compact_k=compact_k,
     )
     rgb_render = np.asarray(jnp.clip(out.rgb, 0, 1)).reshape(h, w, 3)
     depth_rendered = np.asarray(out.depth).reshape(h, w) * my_map_f

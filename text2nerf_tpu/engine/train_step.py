@@ -84,6 +84,7 @@ def make_train_step(
     ndc: bool = False,
     weights: LossWeights = LossWeights(),
     tv_factor: float = 1.0,
+    depth_loss_type: str = "mse",
 ):
     """Build the jitted train step.
 
@@ -92,7 +93,17 @@ def make_train_step(
     accumulated decay via ``tv_decay`` to train_step; the ``tv_factor``
     default provides the stateless tv_factor**step fallback when callers
     pass tv_decay=None.
+
+    ``depth_loss_type`` selects the depth term (--type_depth_loss,
+    e_opt.py:20; default 'mse' = text2nerf_main.py:565):
+    - 'mse': mean((depth_map - depth_gt)^2)
+    - 'ssi': scale/shift-invariant WLS fit of the sample depths to the GT
+      (utils.py:333-342 semantics, closed-form on-device); metrics gain
+      the fitted 's'/'t' scalars (surfaced in the reference progress bar,
+      text2nerf_main.py:610-611)
+    - 'silog': scale-invariant log loss (utils.py:324-331)
     """
+    assert depth_loss_type in ("mse", "ssi", "silog"), depth_loss_type
 
     def loss_fn(params, aabb, batch, rng, step, tv_decay):
         out = render_ops.render_rays(
@@ -110,7 +121,17 @@ def make_train_step(
         depth_map = jnp.nan_to_num(out.depth)  # text2nerf_main.py:559-560
 
         loss_rgb = L.mse(out.rgb, batch["rgb"])
-        loss_depth = L.mse(depth_map, batch["depth"])
+        ssi_s = ssi_t = None
+        if depth_loss_type == "ssi":
+            loss_depth, ssi_s, ssi_t = L.scale_shift_invariant_depth_loss(
+                out.z_vals, out.weights, batch["depth"]
+            )
+        elif depth_loss_type == "silog":
+            loss_depth = L.scale_invariant_log_depth_loss(
+                jnp.maximum(depth_map, 1e-6), jnp.maximum(batch["depth"], 1e-6)
+            )
+        else:
+            loss_depth = L.mse(depth_map, batch["depth"])
         mask = L.depth_front_mask(out.z_vals, batch["depth"], weights.trans_margin)
         loss_trans = L.transmittance_mask_loss(out.weights, mask)
 
@@ -128,6 +149,8 @@ def make_train_step(
             "depth_loss": loss_depth,
             "transmit_loss": loss_trans,
         }
+        if ssi_s is not None:
+            metrics["ssi_s"], metrics["ssi_t"] = ssi_s, ssi_t
         if weights.tv_density > 0:
             tv_d = tf.tv_loss_density(cfg, params) * weights.tv_density * decay
             total = total + tv_d

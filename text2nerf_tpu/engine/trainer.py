@@ -62,6 +62,14 @@ class TrainConfig:
     ckpt: Optional[str] = None
     render_test: bool = False
     render_path: bool = False
+    render_train: bool = False       # --render_train (e_opt.py:40,
+                                     # text2nerf_main.py:629-634)
+    depth_loss_type: str = "mse"     # --type_depth_loss (e_opt.py:20)
+    # eval-render compaction: rebuild the alpha-grid mask at each stage
+    # boundary after stage 1 and route evaluation / expansion renders
+    # through render_rays_compact (tensorBase.py:451-456 culling semantics;
+    # 0 disables)
+    eval_compact_k: int = 64
     seed: int = 1024
     model: tf.TensoRFConfig = dataclasses.field(default_factory=tf.TensoRFConfig)
     # TensoRF coarse-to-fine machinery (upsamp_list / update_AlphaMask_list,
@@ -179,11 +187,15 @@ def reconstruction(
         tv_density=cfg.tv_weight_density, tv_app=cfg.tv_weight_app,
         l1=cfg.l1_weight, ortho=cfg.ortho_weight,
     )
+    def make_step(tx):
+        return ts.make_train_step(
+            mcfg, tx, n_samples=n_samples, app_k=cfg.app_k,
+            white_bg=white_bg, ndc=cfg.ndc_ray, weights=weights,
+            depth_loss_type=cfg.depth_loss_type,
+        )
+
     state, tx = ts.make_train_state(params, cfg.lr_init, cfg.lr_basis, factor)
-    step_fn = ts.make_train_step(
-        mcfg, tx, n_samples=n_samples, app_k=cfg.app_k,
-        white_bg=white_bg, ndc=cfg.ndc_ray, weights=weights,
-    )
+    step_fn = make_step(tx)
 
     n_views = scene.poses_gen.shape[0]
     # n_stage2 = 0 → stage-1-only local scene fit (no diffusion in the
@@ -194,6 +206,15 @@ def reconstruction(
     key = jax.random.PRNGKey(cfg.seed)
     tv_decay = 1.0
     view_idx = 0
+    eval_mask = None  # alpha-grid mask for compacted eval renders
+
+    def rebuild_eval_mask():
+        if cfg.eval_compact_k <= 0 or cfg.ndc_ray:
+            return None
+        reso_now = tf.grid_resolution(mcfg, state.params)
+        mask_reso = tuple(min(r, 200) for r in reso_now)
+        mask, _ = tf.update_alpha_mask(mcfg, state.params, aabb, mask_reso)
+        return mask
     pool_new = None
     sampler_new = None
     n_iters_epoch = n_iters_epoch1
@@ -224,11 +245,17 @@ def reconstruction(
                         "tv_decay": tv_decay, "global_step": global_step,
                     },
                 )
+            # the field just finished fitting the previous views: rebuild
+            # the occupancy mask so the expansion's known-view renders and
+            # the next round of evals use the compacted path
+            eval_mask = rebuild_eval_mask()
             with phase_timer(f"expand_view_{view_idx}", log):
                 scene = exp.expand_scene(
                     view_idx, mcfg, state.params, scene, services,
                     expansion_cfg, logfolder,
                     n_samples=n_samples, white_bg=white_bg, seed=cfg.seed + view_idx,
+                    alpha_mask=eval_mask,
+                    compact_k=cfg.eval_compact_k,
                 )
             # replay pool = all previous views' pools (text2nerf_main.py:509-517)
             prev = [scene.updates["%05d" % nn] for nn in range(view_idx)]
@@ -253,10 +280,7 @@ def reconstruction(
             state, tx = ts.make_train_state(
                 state.params, cfg.lr_init, cfg.lr_basis, factor
             )
-            step_fn = ts.make_train_step(
-                mcfg, tx, n_samples=n_samples, app_k=cfg.app_k,
-                white_bg=white_bg, ndc=cfg.ndc_ray, weights=weights,
-            )
+            step_fn = make_step(tx)
         elif epoch == n_total and pool_new is not None:
             # stage 3: fold the last view's pool in (text2nerf_main.py:529-536)
             pool_pre = tuple(
@@ -272,10 +296,7 @@ def reconstruction(
             state, tx = ts.make_train_state(
                 state.params, cfg.lr_init, cfg.lr_basis, factor
             )
-            step_fn = ts.make_train_step(
-                mcfg, tx, n_samples=n_samples, app_k=cfg.app_k,
-                white_bg=white_bg, ndc=cfg.ndc_ray, weights=weights,
-            )
+            step_fn = make_step(tx)
 
         # --- epoch ----------------------------------------------------------
         for it in range(n_iters_epoch):
@@ -306,10 +327,7 @@ def reconstruction(
                         params_up, cfg.lr_init * tv_decay,
                         cfg.lr_basis * tv_decay, factor,
                     )
-                step_fn = ts.make_train_step(
-                    mcfg, tx, n_samples=n_samples, app_k=cfg.app_k,
-                    white_bg=white_bg, ndc=cfg.ndc_ray, weights=weights,
-                )
+                step_fn = make_step(tx)
             if (
                 cfg.update_alphamask_list
                 and global_step in cfg.update_alphamask_list
@@ -328,10 +346,7 @@ def reconstruction(
                     state, tx = ts.make_train_state(
                         params_sh, cfg.lr_init, cfg.lr_basis, factor
                     )
-                    step_fn = ts.make_train_step(
-                        mcfg, tx, n_samples=n_samples, app_k=cfg.app_k,
-                        white_bg=white_bg, ndc=cfg.ndc_ray, weights=weights,
-                    )
+                    step_fn = make_step(tx)
             use_replay = (
                 view_idx == 0 or it % 5 == 0 or epoch >= n_total
                 or sampler_new is None
@@ -362,6 +377,7 @@ def reconstruction(
             or epoch + 1 == cfg.n_stage1
         )
         if boundary and scene.rgbs_gen_split.shape[0] > 0:
+            eval_mask = rebuild_eval_mask()
             res = eval_renderer.evaluation(
                 mcfg, state.params, aabb,
                 scene.rays_gen_split[: scene.rgbs_gen_split.shape[0]],
@@ -371,15 +387,36 @@ def reconstruction(
                 prefix=f"epoch{epoch + 1:04d}_", chunk=cfg.batch_size,
                 app_k=cfg.app_k, white_bg=white_bg, ndc=cfg.ndc_ray,
                 push_depth=scene_cfg.push_depth, near_far=scene.near_far,
+                alpha_mask=eval_mask,
+                compact_k=cfg.eval_compact_k if eval_mask is not None else 0,
             )
             if res["psnr"]:
                 log.scalars(global_step, {"eval_psnr": float(np.mean(res["psnr"]))})
 
+    # final mask: saved into the checkpoint (tensorBase.py:275-283 packs it)
+    # and used by the final render passes below
+    eval_mask = rebuild_eval_mask()
+    final_compact_k = cfg.eval_compact_k if eval_mask is not None else 0
     ckpt.save_checkpoint(
         os.path.join(logfolder, f"{cfg.expname}_final.npz"),
-        mcfg, state.params, aabb,
+        mcfg, state.params, aabb, alpha_mask=eval_mask,
         loop_state={"view_idx": view_idx, "global_step": global_step},
     )
+
+    if cfg.render_train:
+        # render every training view to imgs_train_all
+        # (text2nerf_main.py:629-634: re-stacked train dataset + video)
+        eval_renderer.evaluation(
+            mcfg, state.params, aabb,
+            scene.rays_gen_split[: scene.rgbs_gen_split.shape[0]],
+            scene.hw, n_samples=n_samples,
+            gt_rgbs=scene.rgbs_gen_split,
+            save_path=os.path.join(logfolder, "imgs_train_all"),
+            chunk=cfg.batch_size, app_k=cfg.app_k, white_bg=white_bg,
+            ndc=cfg.ndc_ray, video=True,
+            push_depth=scene_cfg.push_depth, near_far=scene.near_far,
+            alpha_mask=eval_mask, compact_k=final_compact_k,
+        )
 
     if cfg.render_test or cfg.render_path:
         test_scene = ss.bootstrap_scene(
@@ -394,6 +431,7 @@ def reconstruction(
                 chunk=cfg.batch_size, app_k=cfg.app_k, white_bg=white_bg,
                 ndc=cfg.ndc_ray, video=True,
                 push_depth=scene_cfg.push_depth, near_far=scene.near_far,
+                alpha_mask=eval_mask, compact_k=final_compact_k,
             )
         if cfg.render_path:
             eval_renderer.evaluation_path(

@@ -39,6 +39,7 @@ class DiffusionPipeline:
         self.hw = hw
         self.inpaint = inpaint
         self.num_steps = num_steps
+        self.tiny = tiny
         if tiny:
             self.unet_cfg = D.UNetConfig.tiny()
             if inpaint:
@@ -108,9 +109,16 @@ class DiffusionPipeline:
         )
         out = self.text.apply({"params": self.params["text"]}, tokens)
         hidden = out["hidden"]
-        # project hidden width to the UNet's cross-attention width if the
-        # (tiny) configs differ
         if hidden.shape[-1] != self.unet_cfg.cross_attention_dim:
+            # only the deliberately-mismatched tiny test configs may take
+            # the width-slicing shortcut; with real configs a mismatch
+            # means the checkpoint and UNet config disagree — fail loudly
+            # instead of silently conditioning on truncated embeddings
+            assert self.tiny, (
+                f"text hidden width {hidden.shape[-1]} != UNet "
+                f"cross_attention_dim {self.unet_cfg.cross_attention_dim}; "
+                "checkpoint/config mismatch"
+            )
             hidden = hidden[..., : self.unet_cfg.cross_attention_dim]
         return hidden[1:2], hidden[0:1]
 
