@@ -75,7 +75,8 @@ class CLIPVisionConfig:
 
 
 def _act(x, quick: bool):
-    return x * jax.nn.sigmoid(1.702 * x) if quick else nn.gelu(x)
+    # HF "gelu" is the exact erf form (GELUActivation), not tanh-approximate
+    return x * jax.nn.sigmoid(1.702 * x) if quick else nn.gelu(x, approximate=False)
 
 
 class TransformerLayer(nn.Module):
@@ -86,10 +87,10 @@ class TransformerLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask=None):
-        h = nn.LayerNorm(dtype=self.dtype)(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         h = MaskedAttention(self.width, self.heads, self.dtype)(h, mask)
         x = x + h
-        h = nn.LayerNorm(dtype=self.dtype)(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         h = nn.Dense(self.width * 4, dtype=self.dtype)(h)
         h = _act(h, self.quick_gelu)
         h = nn.Dense(self.width, dtype=self.dtype)(h)
@@ -152,9 +153,9 @@ class CLIPTextEncoder(nn.Module):
             )
             if i == c.layers - 1 - skip_last_layers:
                 hidden_at_skip = x
-        final = nn.LayerNorm(dtype=self.dtype, name="ln_final")(x)
+        final = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_final")(x)
         hidden = (
-            nn.LayerNorm(dtype=self.dtype, name="ln_skip")(hidden_at_skip)
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_skip")(hidden_at_skip)
             if skip_last_layers > 0
             else final
         )
@@ -194,10 +195,10 @@ class CLIPVisionEncoder(nn.Module):
             (1 + gh * gw, c.width),
         )
         x = x + pos[None]
-        x = nn.LayerNorm(dtype=self.dtype, name="ln_pre")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_pre")(x)
         for _ in range(c.layers):
             x = TransformerLayer(c.width, c.heads, c.use_quick_gelu, self.dtype)(x)
-        pooled = nn.LayerNorm(dtype=self.dtype, name="ln_post")(x[:, 0])
+        pooled = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_post")(x[:, 0])
         embeds = nn.Dense(
             c.projection_dim, use_bias=False, dtype=self.dtype,
             name="visual_projection",

@@ -10,9 +10,16 @@ The architecture matches the SD 2.x family so converted checkpoints drop
 in (see services/weight_convert.py):
 - UNet: 4 (text2img) or 9 (inpainting) input channels at 1/8 resolution,
   block widths (320, 640, 1280, 1280), 2 res layers per block, cross
-  attention dim 1024, GEGLU feed-forwards, GroupNorm(32)+SiLU resnets.
-- VAE: AutoencoderKL encoder/decoder, scaling factor 0.18215.
+  attention dim 1024, GEGLU feed-forwards, GroupNorm(32, eps 1e-5)+SiLU
+  resnets, linear transformer projections (the SD2 configuration).
+- VAE: AutoencoderKL encoder/decoder incl. quant/post-quant 1x1 convs,
+  scaling factor 0.18215, GroupNorm eps 1e-6.
 - Schedulers: Euler discrete (text2img default) and DDIM.
+
+Module names mirror the diffusers checkpoint layout (down_0_res_1,
+mid_attn, conv_out, ...) so the torch→Flax name maps in
+services/weight_convert.py are a mechanical enumeration; epsilon values
+match torch's so converted nets are numerically exact.
 
 Everything here is shape-static and jit-friendly: the denoise loop is a
 lax.fori_loop over a precomputed sigma schedule; classifier-free guidance
@@ -45,37 +52,54 @@ def timestep_embedding(timesteps, dim: int, max_period: float = 10000.0):
 
 
 class ResnetBlock(nn.Module):
+    """GroupNorm→SiLU→Conv ×2 with a time-embedding shift and 1x1 shortcut
+    (diffusers ResnetBlock2D; norm eps 1e-5 in the UNet, 1e-6 in the VAE)."""
+
     out_ch: int
+    norm_eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, temb=None):
-        h = nn.GroupNorm(32, dtype=self.dtype)(x)
+        h = nn.GroupNorm(32, epsilon=self.norm_eps, dtype=self.dtype,
+                         name="norm1")(x)
         h = nn.silu(h)
-        h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype)(h)
+        h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv1")(h)
         if temb is not None:
-            t = nn.Dense(self.out_ch, dtype=self.dtype)(nn.silu(temb))
+            t = nn.Dense(self.out_ch, dtype=self.dtype,
+                         name="time_emb_proj")(nn.silu(temb))
             h = h + t[:, None, None, :]
-        h = nn.GroupNorm(32, dtype=self.dtype)(h)
+        h = nn.GroupNorm(32, epsilon=self.norm_eps, dtype=self.dtype,
+                         name="norm2")(h)
         h = nn.silu(h)
-        h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype)(h)
+        h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv2")(h)
         if x.shape[-1] != self.out_ch:
-            x = nn.Conv(self.out_ch, (1, 1), dtype=self.dtype)(x)
+            x = nn.Conv(self.out_ch, (1, 1), dtype=self.dtype,
+                        name="conv_shortcut")(x)
         return x + h
 
 
 class Attention(nn.Module):
+    """Multi-head attention with diffusers naming (to_q/to_k/to_v/to_out);
+    q/k/v are bias-free in the UNet transformer blocks."""
+
     dim: int
     heads: int
+    qkv_bias: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, context=None):
         context = x if context is None else context
         head_dim = self.dim // self.heads
-        q = nn.Dense(self.dim, use_bias=False, dtype=self.dtype)(x)
-        k = nn.Dense(self.dim, use_bias=False, dtype=self.dtype)(context)
-        v = nn.Dense(self.dim, use_bias=False, dtype=self.dtype)(context)
+        q = nn.Dense(self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
+                     name="to_q")(x)
+        k = nn.Dense(self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
+                     name="to_k")(context)
+        v = nn.Dense(self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
+                     name="to_v")(context)
 
         def split(t):
             return t.reshape(*t.shape[:-1], self.heads, head_dim)
@@ -85,7 +109,7 @@ class Attention(nn.Module):
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
         out = out.reshape(*out.shape[:-2], self.dim)
-        return nn.Dense(self.dim, dtype=self.dtype)(out)
+        return nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)
 
 
 class GEGLUFeedForward(nn.Module):
@@ -96,31 +120,39 @@ class GEGLUFeedForward(nn.Module):
     @nn.compact
     def __call__(self, x):
         inner = self.dim * self.mult
-        proj = nn.Dense(inner * 2, dtype=self.dtype)(x)
+        proj = nn.Dense(inner * 2, dtype=self.dtype, name="proj")(x)
         a, gate = jnp.split(proj, 2, axis=-1)
-        return nn.Dense(self.dim, dtype=self.dtype)(a * nn.gelu(gate))
+        # torch F.gelu is the exact erf form, not the tanh approximation
+        gate = nn.gelu(gate, approximate=False)
+        return nn.Dense(self.dim, dtype=self.dtype, name="out")(a * gate)
 
 
 class TransformerBlock(nn.Module):
+    """BasicTransformerBlock: self-attn, cross-attn, GEGLU MLP, pre-LN
+    (torch LayerNorm eps 1e-5)."""
+
     dim: int
     heads: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, context):
-        x = x + Attention(self.dim, self.heads, self.dtype)(
-            nn.LayerNorm(dtype=self.dtype)(x)
+        x = x + Attention(self.dim, self.heads, dtype=self.dtype, name="attn1")(
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         )
-        x = x + Attention(self.dim, self.heads, self.dtype)(
-            nn.LayerNorm(dtype=self.dtype)(x), context
+        x = x + Attention(self.dim, self.heads, dtype=self.dtype, name="attn2")(
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x), context
         )
-        x = x + GEGLUFeedForward(self.dim, dtype=self.dtype)(
-            nn.LayerNorm(dtype=self.dtype)(x)
+        x = x + GEGLUFeedForward(self.dim, dtype=self.dtype, name="ff")(
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
         )
         return x
 
 
 class SpatialTransformer(nn.Module):
+    """Transformer2DModel with linear proj_in/proj_out (SD2 sets
+    use_linear_projection=True); GroupNorm eps 1e-6."""
+
     dim: int
     heads: int
     depth: int = 1
@@ -130,24 +162,31 @@ class SpatialTransformer(nn.Module):
     def __call__(self, x, context):
         b, h, w, c = x.shape
         res = x
-        x = nn.GroupNorm(32, dtype=self.dtype)(x)
-        x = nn.Dense(self.dim, dtype=self.dtype)(x)  # proj_in (linear, SD2)
+        x = nn.GroupNorm(32, epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="proj_in")(x)
         x = x.reshape(b, h * w, self.dim)
-        for _ in range(self.depth):
-            x = TransformerBlock(self.dim, self.heads, self.dtype)(x, context)
+        for d in range(self.depth):
+            x = TransformerBlock(self.dim, self.heads, self.dtype,
+                                 name=f"block_{d}")(x, context)
         x = x.reshape(b, h, w, self.dim)
-        x = nn.Dense(c, dtype=self.dtype)(x)  # proj_out
+        x = nn.Dense(c, dtype=self.dtype, name="proj_out")(x)
         return x + res
 
 
 class Downsample(nn.Module):
+    """Strided conv downsample.  The UNet pads symmetrically; the VAE
+    encoder (diffusers Downsample2D with padding=0 + manual (0,1,0,1) pad)
+    pads bottom/right only — ``asymmetric`` selects that variant."""
+
     ch: int
     dtype: jnp.dtype = jnp.float32
+    asymmetric: bool = False
 
     @nn.compact
     def __call__(self, x):
-        return nn.Conv(self.ch, (3, 3), strides=(2, 2), padding=1,
-                       dtype=self.dtype)(x)
+        pad = ((0, 1), (0, 1)) if self.asymmetric else 1
+        return nn.Conv(self.ch, (3, 3), strides=(2, 2), padding=pad,
+                       dtype=self.dtype, name="conv")(x)
 
 
 class Upsample(nn.Module):
@@ -158,7 +197,8 @@ class Upsample(nn.Module):
     def __call__(self, x):
         b, h, w, c = x.shape
         x = jax.image.resize(x, (b, h * 2, w * 2, c), "nearest")
-        return nn.Conv(self.ch, (3, 3), padding=1, dtype=self.dtype)(x)
+        return nn.Conv(self.ch, (3, 3), padding=1, dtype=self.dtype,
+                       name="conv")(x)
 
 
 # ---------------------------------------------------------------------------
@@ -195,7 +235,14 @@ class UNetConfig:
 
 
 class UNet(nn.Module):
-    """SD-style conditional UNet over latents (NHWC)."""
+    """SD-style conditional UNet over latents (NHWC).
+
+    Submodule names follow the diffusers layout: ``down_{i}_res_{j}`` ↔
+    ``down_blocks.{i}.resnets.{j}``, ``up_{i}_attn_{j}`` ↔
+    ``up_blocks.{L-1-i}.attentions.{j}`` (up blocks run high→low channel
+    here, indexed by the channel-table position ``i``), ``mid_res_{0,1}`` /
+    ``mid_attn`` ↔ ``mid_block.*``.
+    """
 
     cfg: UNetConfig
     dtype: jnp.dtype = jnp.float32
@@ -205,48 +252,55 @@ class UNet(nn.Module):
         c = self.cfg
         tdim = c.block_channels[0] * 4
         temb = timestep_embedding(timesteps, c.block_channels[0])
-        temb = nn.Dense(tdim, dtype=self.dtype)(temb)
-        temb = nn.Dense(tdim, dtype=self.dtype)(nn.silu(temb))
+        temb = nn.Dense(tdim, dtype=self.dtype, name="time_dense_1")(temb)
+        temb = nn.Dense(tdim, dtype=self.dtype, name="time_dense_2")(
+            nn.silu(temb))
 
-        h = nn.Conv(c.block_channels[0], (3, 3), padding=1, dtype=self.dtype)(x)
+        h = nn.Conv(c.block_channels[0], (3, 3), padding=1, dtype=self.dtype,
+                    name="conv_in")(x)
         skips = [h]
 
         # down
         for i, ch in enumerate(c.block_channels):
-            for _ in range(c.layers_per_block):
-                h = ResnetBlock(ch, self.dtype)(h, temb)
+            for j in range(c.layers_per_block):
+                h = ResnetBlock(ch, dtype=self.dtype,
+                                name=f"down_{i}_res_{j}")(h, temb)
                 if c.attn_blocks[i]:
                     h = SpatialTransformer(
-                        ch, ch // c.head_dim, dtype=self.dtype
+                        ch, ch // c.head_dim, dtype=self.dtype,
+                        name=f"down_{i}_attn_{j}",
                     )(h, context)
                 skips.append(h)
             if i < len(c.block_channels) - 1:
-                h = Downsample(ch, self.dtype)(h)
+                h = Downsample(ch, self.dtype, name=f"down_{i}_downsample")(h)
                 skips.append(h)
 
         # mid
         mid_ch = c.block_channels[-1]
-        h = ResnetBlock(mid_ch, self.dtype)(h, temb)
-        h = SpatialTransformer(mid_ch, mid_ch // c.head_dim, dtype=self.dtype)(
-            h, context
-        )
-        h = ResnetBlock(mid_ch, self.dtype)(h, temb)
+        h = ResnetBlock(mid_ch, dtype=self.dtype, name="mid_res_0")(h, temb)
+        h = SpatialTransformer(mid_ch, mid_ch // c.head_dim, dtype=self.dtype,
+                               name="mid_attn")(h, context)
+        h = ResnetBlock(mid_ch, dtype=self.dtype, name="mid_res_1")(h, temb)
 
         # up
         for i, ch in list(enumerate(c.block_channels))[::-1]:
-            for _ in range(c.layers_per_block + 1):
+            for j in range(c.layers_per_block + 1):
                 h = jnp.concatenate([h, skips.pop()], axis=-1)
-                h = ResnetBlock(ch, self.dtype)(h, temb)
+                h = ResnetBlock(ch, dtype=self.dtype,
+                                name=f"up_{i}_res_{j}")(h, temb)
                 if c.attn_blocks[i]:
                     h = SpatialTransformer(
-                        ch, ch // c.head_dim, dtype=self.dtype
+                        ch, ch // c.head_dim, dtype=self.dtype,
+                        name=f"up_{i}_attn_{j}",
                     )(h, context)
             if i > 0:
-                h = Upsample(ch, self.dtype)(h)
+                h = Upsample(ch, self.dtype, name=f"up_{i}_upsample")(h)
 
-        h = nn.GroupNorm(32, dtype=self.dtype)(h)
+        h = nn.GroupNorm(32, epsilon=1e-5, dtype=self.dtype,
+                         name="norm_out")(h)
         h = nn.silu(h)
-        return nn.Conv(c.out_channels, (3, 3), padding=1, dtype=self.dtype)(h)
+        return nn.Conv(c.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                       name="conv_out")(h)
 
 
 # ---------------------------------------------------------------------------
@@ -255,6 +309,9 @@ class UNet(nn.Module):
 
 
 class VAEAttention(nn.Module):
+    """Single-head mid-block attention (diffusers AttentionBlock): GroupNorm
+    eps 1e-6, biased q/k/v/out projections."""
+
     ch: int
     dtype: jnp.dtype = jnp.float32
 
@@ -262,9 +319,11 @@ class VAEAttention(nn.Module):
     def __call__(self, x):
         b, h, w, c = x.shape
         res = x
-        x = nn.GroupNorm(32, dtype=self.dtype)(x)
+        x = nn.GroupNorm(32, epsilon=1e-6, dtype=self.dtype,
+                         name="group_norm")(x)
         x = x.reshape(b, h * w, c)
-        x = Attention(self.ch, heads=1, dtype=self.dtype)(x)
+        x = Attention(self.ch, heads=1, qkv_bias=True, dtype=self.dtype,
+                      name="attn")(x)
         return res + x.reshape(b, h, w, c)
 
 
@@ -281,47 +340,69 @@ class VAEConfig:
 
 
 class VAEEncoder(nn.Module):
+    """AutoencoderKL encoder + the quant 1x1 conv; returns the moments
+    (mean ‖ logvar, 2×latent channels)."""
+
     cfg: VAEConfig
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         c = self.cfg
-        h = nn.Conv(c.block_channels[0], (3, 3), padding=1, dtype=self.dtype)(x)
+        h = nn.Conv(c.block_channels[0], (3, 3), padding=1, dtype=self.dtype,
+                    name="conv_in")(x)
         for i, ch in enumerate(c.block_channels):
-            for _ in range(c.layers_per_block):
-                h = ResnetBlock(ch, self.dtype)(h)
+            for j in range(c.layers_per_block):
+                h = ResnetBlock(ch, norm_eps=1e-6, dtype=self.dtype,
+                                name=f"down_{i}_res_{j}")(h)
             if i < len(c.block_channels) - 1:
-                h = Downsample(ch, self.dtype)(h)
-        h = ResnetBlock(c.block_channels[-1], self.dtype)(h)
-        h = VAEAttention(c.block_channels[-1], self.dtype)(h)
-        h = ResnetBlock(c.block_channels[-1], self.dtype)(h)
-        h = nn.GroupNorm(32, dtype=self.dtype)(h)
+                h = Downsample(ch, self.dtype, asymmetric=True,
+                               name=f"down_{i}_downsample")(h)
+        top = c.block_channels[-1]
+        h = ResnetBlock(top, norm_eps=1e-6, dtype=self.dtype,
+                        name="mid_res_0")(h)
+        h = VAEAttention(top, self.dtype, name="mid_attn")(h)
+        h = ResnetBlock(top, norm_eps=1e-6, dtype=self.dtype,
+                        name="mid_res_1")(h)
+        h = nn.GroupNorm(32, epsilon=1e-6, dtype=self.dtype,
+                         name="norm_out")(h)
         h = nn.silu(h)
-        # mean + logvar
-        return nn.Conv(2 * c.latent_channels, (3, 3), padding=1,
-                       dtype=self.dtype)(h)
+        h = nn.Conv(2 * c.latent_channels, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv_out")(h)
+        return nn.Conv(2 * c.latent_channels, (1, 1), dtype=self.dtype,
+                       name="quant_conv")(h)
 
 
 class VAEDecoder(nn.Module):
+    """AutoencoderKL decoder incl. the post-quant 1x1 conv."""
+
     cfg: VAEConfig
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, z):
         c = self.cfg
-        h = nn.Conv(c.block_channels[-1], (3, 3), padding=1, dtype=self.dtype)(z)
-        h = ResnetBlock(c.block_channels[-1], self.dtype)(h)
-        h = VAEAttention(c.block_channels[-1], self.dtype)(h)
-        h = ResnetBlock(c.block_channels[-1], self.dtype)(h)
+        z = nn.Conv(c.latent_channels, (1, 1), dtype=self.dtype,
+                    name="post_quant_conv")(z)
+        top = c.block_channels[-1]
+        h = nn.Conv(top, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv_in")(z)
+        h = ResnetBlock(top, norm_eps=1e-6, dtype=self.dtype,
+                        name="mid_res_0")(h)
+        h = VAEAttention(top, self.dtype, name="mid_attn")(h)
+        h = ResnetBlock(top, norm_eps=1e-6, dtype=self.dtype,
+                        name="mid_res_1")(h)
         for i, ch in list(enumerate(c.block_channels))[::-1]:
-            for _ in range(c.layers_per_block + 1):
-                h = ResnetBlock(ch, self.dtype)(h)
+            for j in range(c.layers_per_block + 1):
+                h = ResnetBlock(ch, norm_eps=1e-6, dtype=self.dtype,
+                                name=f"up_{i}_res_{j}")(h)
             if i > 0:
-                h = Upsample(ch, self.dtype)(h)
-        h = nn.GroupNorm(32, dtype=self.dtype)(h)
+                h = Upsample(ch, self.dtype, name=f"up_{i}_upsample")(h)
+        h = nn.GroupNorm(32, epsilon=1e-6, dtype=self.dtype,
+                         name="norm_out")(h)
         h = nn.silu(h)
-        return nn.Conv(3, (3, 3), padding=1, dtype=self.dtype)(h)
+        return nn.Conv(3, (3, 3), padding=1, dtype=self.dtype,
+                       name="conv_out")(h)
 
 
 # ---------------------------------------------------------------------------

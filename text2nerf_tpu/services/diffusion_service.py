@@ -14,6 +14,7 @@ the registry falls back to procedural services when absent.
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional
 
 import jax
@@ -65,20 +66,42 @@ class DiffusionPipeline:
         self.unet = D.UNet(self.unet_cfg, dtype=dtype)
         self.vae_dec = D.VAEDecoder(self.vae_cfg, dtype=dtype)
         self.vae_enc = D.VAEEncoder(self.vae_cfg, dtype=dtype)
-        # SD 2.x conditions on the penultimate text layer
-        self.text = C.CLIPTextEncoder(self.text_cfg, skip_last_layers=1, dtype=dtype)
+        # SD 2.x conditions on the penultimate OpenCLIP layer, but the HF
+        # checkpoints we convert already ship the tower truncated to 23
+        # layers with final_layer_norm as the penultimate norm — so the
+        # exposed hidden state is the final one (skip_last_layers=0)
+        self.text = C.CLIPTextEncoder(self.text_cfg, skip_last_layers=0, dtype=dtype)
         self.latent_factor = 2 ** (len(self.vae_cfg.block_channels) - 1)
+        self.tokenizer = self._load_tokenizer(weights_path)
         self.params = self._load_or_init(weights_path)
         self._sample_jit = None
 
     # -- params ---------------------------------------------------------------
 
+    @staticmethod
+    def _load_tokenizer(weights_path: str):
+        """Real CLIP BPE when the checkpoint dir ships tokenizer files
+        (vocab.json/merges.txt, the diffusers ``tokenizer/`` subfolder)."""
+        from ..models.tokenizer import CLIPBPETokenizer
+
+        if not weights_path or not os.path.isdir(weights_path):
+            return None
+        for sub in ("tokenizer", "."):
+            tok = CLIPBPETokenizer.from_dir(os.path.join(weights_path, sub))
+            if tok is not None:
+                return tok
+        return None
+
     def _load_or_init(self, weights_path: str):
-        from .weight_convert import load_converted
+        from .weight_convert import convert_sd_checkpoint_dir, load_converted
 
         converted = load_converted(weights_path) if weights_path else None
         if converted is not None:
             return converted
+        if weights_path and os.path.isdir(weights_path):
+            converted = convert_sd_checkpoint_dir(weights_path, self)
+            if converted is not None:
+                return converted
         key = jax.random.PRNGKey(0)
         h, w = self.hw
         f = self.latent_factor
@@ -103,10 +126,14 @@ class DiffusionPipeline:
     def encode_text(self, prompt: str, negative_prompt: str = ""):
         """Prompt → (cond, uncond) hidden states (get_text_embeds,
         inpaint_sdm.py:59-69); SD2 conditions on the penultimate layer."""
-        tokens = C.hash_tokenize(
-            [negative_prompt, prompt], self.text_cfg.context_length,
-            self.text_cfg.vocab_size,
-        )
+        if self.tokenizer is not None:
+            tokens = jnp.asarray(self.tokenizer(
+                [negative_prompt, prompt], self.text_cfg.context_length))
+        else:
+            tokens = C.hash_tokenize(
+                [negative_prompt, prompt], self.text_cfg.context_length,
+                self.text_cfg.vocab_size,
+            )
         out = self.text.apply({"params": self.params["text"]}, tokens)
         hidden = out["hidden"]
         if hidden.shape[-1] != self.unet_cfg.cross_attention_dim:

@@ -64,6 +64,14 @@ def convert_torch_state_dict(
         if fpath.startswith("raw:"):
             fpath = fpath[len("raw:"):]
             arr = np.asarray(state_dict[tname])
+        elif fpath.startswith("lin:"):
+            # force-linear: old VAE checkpoints store the mid-attention
+            # projections as 1x1 convs (C, C, 1, 1); newer ones as (C, C)
+            fpath = fpath[len("lin:"):]
+            arr = np.asarray(state_dict[tname])
+            if arr.ndim == 4:
+                arr = arr[..., 0, 0]
+            arr = arr.T if arr.ndim == 2 else arr
         else:
             arr = convert_tensor(tname, np.asarray(state_dict[tname]), is_t)
         node = tree
@@ -264,6 +272,276 @@ def convert_clip_text(state_dict, layers: int, reference_params):
     if "ln_final" in tree and "ln_skip" in reference_params:
         tree["ln_skip"] = dict(tree["ln_final"])
     return fill_missing_params(tree, reference_params)
+
+
+# ---------------------------------------------------------------------------
+# Stable Diffusion (diffusers checkpoint layout) name maps
+# ---------------------------------------------------------------------------
+
+
+def _sd_resnet_map(t: str, f: str, with_time: bool = True) -> Dict[str, str]:
+    """diffusers ResnetBlock2D → models/diffusion.ResnetBlock."""
+    m = {
+        f"{t}.norm1.weight": f"{f}/norm1/scale",
+        f"{t}.norm1.bias": f"{f}/norm1/bias",
+        f"{t}.conv1.weight": f"{f}/conv1/kernel",
+        f"{t}.conv1.bias": f"{f}/conv1/bias",
+        f"{t}.norm2.weight": f"{f}/norm2/scale",
+        f"{t}.norm2.bias": f"{f}/norm2/bias",
+        f"{t}.conv2.weight": f"{f}/conv2/kernel",
+        f"{t}.conv2.bias": f"{f}/conv2/bias",
+        # present only when in_ch != out_ch; convert skips missing keys
+        f"{t}.conv_shortcut.weight": f"{f}/conv_shortcut/kernel",
+        f"{t}.conv_shortcut.bias": f"{f}/conv_shortcut/bias",
+    }
+    if with_time:
+        m[f"{t}.time_emb_proj.weight"] = f"{f}/time_emb_proj/kernel"
+        m[f"{t}.time_emb_proj.bias"] = f"{f}/time_emb_proj/bias"
+    return m
+
+
+def _sd_attention_map(t: str, f: str) -> Dict[str, str]:
+    """diffusers Transformer2DModel (linear projections, depth 1) →
+    models/diffusion.SpatialTransformer."""
+    m = {
+        f"{t}.norm.weight": f"{f}/norm/scale",
+        f"{t}.norm.bias": f"{f}/norm/bias",
+        f"{t}.proj_in.weight": f"{f}/proj_in/kernel",
+        f"{t}.proj_in.bias": f"{f}/proj_in/bias",
+        f"{t}.proj_out.weight": f"{f}/proj_out/kernel",
+        f"{t}.proj_out.bias": f"{f}/proj_out/bias",
+    }
+    tb, fb = f"{t}.transformer_blocks.0", f"{f}/block_0"
+    for a in ("attn1", "attn2"):
+        for p in ("to_q", "to_k", "to_v"):
+            m[f"{tb}.{a}.{p}.weight"] = f"{fb}/{a}/{p}/kernel"
+        m[f"{tb}.{a}.to_out.0.weight"] = f"{fb}/{a}/to_out/kernel"
+        m[f"{tb}.{a}.to_out.0.bias"] = f"{fb}/{a}/to_out/bias"
+    for n in ("norm1", "norm2", "norm3"):
+        m[f"{tb}.{n}.weight"] = f"{fb}/{n}/scale"
+        m[f"{tb}.{n}.bias"] = f"{fb}/{n}/bias"
+    m[f"{tb}.ff.net.0.proj.weight"] = f"{fb}/ff/proj/kernel"
+    m[f"{tb}.ff.net.0.proj.bias"] = f"{fb}/ff/proj/bias"
+    m[f"{tb}.ff.net.2.weight"] = f"{fb}/ff/out/kernel"
+    m[f"{tb}.ff.net.2.bias"] = f"{fb}/ff/out/bias"
+    return m
+
+
+def sd_unet_name_map(cfg) -> Dict[str, str]:
+    """diffusers UNet2DConditionModel (SD 2.x layout: linear transformer
+    projections, one transformer block per attention) → models/diffusion.UNet.
+
+    Matches the checkpoints the reference loads
+    (/root/reference/scripts/text2img_sdm.py:7-30 — stable-diffusion-2-1-base;
+    inpaint_sdm.py:48-74 — stable-diffusion-2-inpainting).
+    """
+    m = {
+        "conv_in.weight": "conv_in/kernel",
+        "conv_in.bias": "conv_in/bias",
+        "time_embedding.linear_1.weight": "time_dense_1/kernel",
+        "time_embedding.linear_1.bias": "time_dense_1/bias",
+        "time_embedding.linear_2.weight": "time_dense_2/kernel",
+        "time_embedding.linear_2.bias": "time_dense_2/bias",
+        "conv_norm_out.weight": "norm_out/scale",
+        "conv_norm_out.bias": "norm_out/bias",
+        "conv_out.weight": "conv_out/kernel",
+        "conv_out.bias": "conv_out/bias",
+    }
+    L = len(cfg.block_channels)
+    for i in range(L):
+        for j in range(cfg.layers_per_block):
+            m.update(_sd_resnet_map(
+                f"down_blocks.{i}.resnets.{j}", f"down_{i}_res_{j}"))
+            if cfg.attn_blocks[i]:
+                m.update(_sd_attention_map(
+                    f"down_blocks.{i}.attentions.{j}", f"down_{i}_attn_{j}"))
+        if i < L - 1:
+            m[f"down_blocks.{i}.downsamplers.0.conv.weight"] = (
+                f"down_{i}_downsample/conv/kernel")
+            m[f"down_blocks.{i}.downsamplers.0.conv.bias"] = (
+                f"down_{i}_downsample/conv/bias")
+    m.update(_sd_resnet_map("mid_block.resnets.0", "mid_res_0"))
+    m.update(_sd_attention_map("mid_block.attentions.0", "mid_attn"))
+    m.update(_sd_resnet_map("mid_block.resnets.1", "mid_res_1"))
+    for i in range(L):
+        k = L - 1 - i  # diffusers up_blocks run low→high resolution
+        for j in range(cfg.layers_per_block + 1):
+            m.update(_sd_resnet_map(
+                f"up_blocks.{k}.resnets.{j}", f"up_{i}_res_{j}"))
+            if cfg.attn_blocks[i]:
+                m.update(_sd_attention_map(
+                    f"up_blocks.{k}.attentions.{j}", f"up_{i}_attn_{j}"))
+        if i > 0:
+            m[f"up_blocks.{k}.upsamplers.0.conv.weight"] = (
+                f"up_{i}_upsample/conv/kernel")
+            m[f"up_blocks.{k}.upsamplers.0.conv.bias"] = (
+                f"up_{i}_upsample/conv/bias")
+    return m
+
+
+def _sd_vae_attn_map(t: str, f: str) -> Dict[str, str]:
+    """AutoencoderKL mid-block attention; supports both the modern
+    (to_q/to_k/to_v/to_out.0) and legacy (query/key/value/proj_attn) key
+    names, and 1x1-conv-shaped legacy projection weights via ``lin:``."""
+    m = {
+        f"{t}.group_norm.weight": f"{f}/group_norm/scale",
+        f"{t}.group_norm.bias": f"{f}/group_norm/bias",
+    }
+    pairs = [("to_q", "to_q"), ("to_k", "to_k"), ("to_v", "to_v"),
+             ("to_out.0", "to_out"), ("query", "to_q"), ("key", "to_k"),
+             ("value", "to_v"), ("proj_attn", "to_out")]
+    for tname, fname in pairs:
+        m[f"{t}.{tname}.weight"] = f"lin:{f}/attn/{fname}/kernel"
+        m[f"{t}.{tname}.bias"] = f"{f}/attn/{fname}/bias"
+    return m
+
+
+def sd_vae_encoder_name_map(cfg) -> Dict[str, str]:
+    """diffusers AutoencoderKL encoder + quant_conv →
+    models/diffusion.VAEEncoder."""
+    m = {
+        "encoder.conv_in.weight": "conv_in/kernel",
+        "encoder.conv_in.bias": "conv_in/bias",
+        "encoder.conv_norm_out.weight": "norm_out/scale",
+        "encoder.conv_norm_out.bias": "norm_out/bias",
+        "encoder.conv_out.weight": "conv_out/kernel",
+        "encoder.conv_out.bias": "conv_out/bias",
+        "quant_conv.weight": "quant_conv/kernel",
+        "quant_conv.bias": "quant_conv/bias",
+    }
+    L = len(cfg.block_channels)
+    for i in range(L):
+        for j in range(cfg.layers_per_block):
+            m.update(_sd_resnet_map(
+                f"encoder.down_blocks.{i}.resnets.{j}", f"down_{i}_res_{j}",
+                with_time=False))
+        if i < L - 1:
+            m[f"encoder.down_blocks.{i}.downsamplers.0.conv.weight"] = (
+                f"down_{i}_downsample/conv/kernel")
+            m[f"encoder.down_blocks.{i}.downsamplers.0.conv.bias"] = (
+                f"down_{i}_downsample/conv/bias")
+    m.update(_sd_resnet_map("encoder.mid_block.resnets.0", "mid_res_0",
+                            with_time=False))
+    m.update(_sd_vae_attn_map("encoder.mid_block.attentions.0", "mid_attn"))
+    m.update(_sd_resnet_map("encoder.mid_block.resnets.1", "mid_res_1",
+                            with_time=False))
+    return m
+
+
+def sd_vae_decoder_name_map(cfg) -> Dict[str, str]:
+    """diffusers AutoencoderKL decoder + post_quant_conv →
+    models/diffusion.VAEDecoder."""
+    m = {
+        "decoder.conv_in.weight": "conv_in/kernel",
+        "decoder.conv_in.bias": "conv_in/bias",
+        "decoder.conv_norm_out.weight": "norm_out/scale",
+        "decoder.conv_norm_out.bias": "norm_out/bias",
+        "decoder.conv_out.weight": "conv_out/kernel",
+        "decoder.conv_out.bias": "conv_out/bias",
+        "post_quant_conv.weight": "post_quant_conv/kernel",
+        "post_quant_conv.bias": "post_quant_conv/bias",
+    }
+    L = len(cfg.block_channels)
+    m.update(_sd_resnet_map("decoder.mid_block.resnets.0", "mid_res_0",
+                            with_time=False))
+    m.update(_sd_vae_attn_map("decoder.mid_block.attentions.0", "mid_attn"))
+    m.update(_sd_resnet_map("decoder.mid_block.resnets.1", "mid_res_1",
+                            with_time=False))
+    for i in range(L):
+        k = L - 1 - i  # decoder up_blocks.0 works at the top channel count
+        for j in range(cfg.layers_per_block + 1):
+            m.update(_sd_resnet_map(
+                f"decoder.up_blocks.{k}.resnets.{j}", f"up_{i}_res_{j}",
+                with_time=False))
+        if i > 0:
+            m[f"decoder.up_blocks.{k}.upsamplers.0.conv.weight"] = (
+                f"up_{i}_upsample/conv/kernel")
+            m[f"decoder.up_blocks.{k}.upsamplers.0.conv.bias"] = (
+                f"up_{i}_upsample/conv/bias")
+    return m
+
+
+def _find_weights_file(d: str) -> Optional[str]:
+    for name in ("diffusion_pytorch_model.safetensors",
+                 "diffusion_pytorch_model.bin",
+                 "model.safetensors", "pytorch_model.bin"):
+        p = os.path.join(d, name)
+        if os.path.isfile(p):
+            return p
+    return None
+
+
+def convert_sd_checkpoint_dir(ckpt_dir: str, pipeline) -> Optional[dict]:
+    """Convert a diffusers-layout checkpoint directory (unet/ vae/
+    text_encoder/ subfolders, as downloaded for the reference's weights/
+    tree) into the DiffusionPipeline params dict.
+
+    Uses jax.eval_shape on the pipeline's modules for the reference shapes
+    so nothing large is materialized twice.  Raises if the UNet checkpoint
+    covers less than 99% of its name map (layout mismatch ≠ silent noise).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    unet_file = _find_weights_file(os.path.join(ckpt_dir, "unet"))
+    if unet_file is None:
+        return None
+    vae_file = _find_weights_file(os.path.join(ckpt_dir, "vae"))
+    text_file = _find_weights_file(os.path.join(ckpt_dir, "text_encoder"))
+
+    h, w = pipeline.hw
+    f = pipeline.latent_factor
+
+    def shapes(module, *args):
+        return jax.eval_shape(lambda: module.init(
+            jax.random.PRNGKey(0), *args))["params"]
+
+    params = {}
+
+    unet_sd = load_torch_checkpoint(unet_file)
+    umap = sd_unet_name_map(pipeline.unet_cfg)
+    hits = sum(1 for k in umap if k in unet_sd)
+    required = sum(1 for k in umap if "conv_shortcut" not in k)
+    if hits < 0.99 * required:
+        raise ValueError(
+            f"SD UNet checkpoint layout mismatch: {hits}/{required} mapped "
+            f"keys present in {unet_file}")
+    ref = shapes(pipeline.unet,
+                 jnp.zeros((1, h // f, w // f, pipeline.unet_cfg.in_channels)),
+                 jnp.zeros((1,)), jnp.zeros(
+                     (1, pipeline.text_cfg.context_length,
+                      pipeline.unet_cfg.cross_attention_dim)))
+    params["unet"] = fill_missing_params(
+        convert_torch_state_dict(unet_sd, umap), ref)
+    del unet_sd
+
+    if vae_file is not None:
+        vae_sd = load_torch_checkpoint(vae_file)
+        ref = shapes(pipeline.vae_enc, jnp.zeros((1, h, w, 3)))
+        params["vae_encoder"] = fill_missing_params(
+            convert_torch_state_dict(
+                vae_sd, sd_vae_encoder_name_map(pipeline.vae_cfg)), ref)
+        ref = shapes(pipeline.vae_dec, jnp.zeros(
+            (1, h // f, w // f, pipeline.vae_cfg.latent_channels)))
+        params["vae_decoder"] = fill_missing_params(
+            convert_torch_state_dict(
+                vae_sd, sd_vae_decoder_name_map(pipeline.vae_cfg)), ref)
+        del vae_sd
+
+    if text_file is not None:
+        text_sd = load_torch_checkpoint(text_file)
+        ref = shapes(pipeline.text, jnp.zeros(
+            (1, pipeline.text_cfg.context_length), jnp.int32))
+        params["text"] = convert_clip_text(
+            text_sd, pipeline.text_cfg.layers, ref)
+        del text_sd
+
+    missing = {"unet", "vae_encoder", "vae_decoder", "text"} - set(params)
+    if missing:
+        raise ValueError(
+            f"diffusers checkpoint dir {ckpt_dir} has a unet/ but is missing "
+            f"the weights for: {sorted(missing)}")
+    return params
 
 
 def save_converted(path: str, tree: dict):
