@@ -1,0 +1,291 @@
+"""LeReS conversion: a torch replica built with the exact res101.pth
+state-dict layout (torchvision ResNeXt encoder under
+depth_model.encoder_modules, FTB/FFM/AO decoder under
+depth_model.decoder_modules — lib/Resnext_torch.py, lib/network_auxi.py)
+converts to the Flax RelDepthModel with matching outputs, including the
+align_corners=True bilinear upsampling and frozen-BN running stats."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+import torch.nn as tnn
+import torch.nn.functional as F
+
+from text2nerf_tpu.models import leres as L
+from text2nerf_tpu.services import weight_convert as WC
+
+
+# ---------------------------------------------------------------------------
+# torch replica (res101.pth key layout)
+# ---------------------------------------------------------------------------
+
+
+class TBottleneck(tnn.Module):
+    def __init__(self, inplanes, planes, stride, groups, base_width,
+                 downsample):
+        super().__init__()
+        width = int(planes * base_width / 64.0) * groups
+        out = planes * 4
+        self.conv1 = tnn.Conv2d(inplanes, width, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(width)
+        self.conv2 = tnn.Conv2d(width, width, 3, stride=stride, padding=1,
+                                groups=groups, bias=False)
+        self.bn2 = tnn.BatchNorm2d(width)
+        self.conv3 = tnn.Conv2d(width, out, 1, bias=False)
+        self.bn3 = tnn.BatchNorm2d(out)
+        self.downsample = downsample
+
+    def forward(self, x):
+        idn = x if self.downsample is None else self.downsample(x)
+        h = F.relu(self.bn1(self.conv1(x)))
+        h = F.relu(self.bn2(self.conv2(h)))
+        h = self.bn3(self.conv3(h))
+        return F.relu(h + idn)
+
+
+class TEncoder(tnn.Module):
+    def __init__(self, cfg):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(3, cfg.planes[0], 7, stride=2, padding=3,
+                                bias=False)
+        self.bn1 = tnn.BatchNorm2d(cfg.planes[0])
+        self.maxpool = tnn.MaxPool2d(3, stride=2, padding=1)
+        inplanes = cfg.planes[0]
+        for s, (planes, n_blocks) in enumerate(zip(cfg.planes, cfg.blocks)):
+            blocks = []
+            for b in range(n_blocks):
+                stride = 2 if (b == 0 and s > 0) else 1
+                ds = None
+                if b == 0 and (stride != 1 or inplanes != planes * 4):
+                    ds = tnn.Sequential(
+                        tnn.Conv2d(inplanes, planes * 4, 1, stride=stride,
+                                   bias=False),
+                        tnn.BatchNorm2d(planes * 4),
+                    )
+                blocks.append(TBottleneck(inplanes, planes, stride,
+                                          cfg.groups, cfg.base_width, ds))
+                inplanes = planes * 4
+            setattr(self, f"layer{s + 1}", tnn.Sequential(*blocks))
+
+    def forward(self, x):
+        h = self.maxpool(F.relu(self.bn1(self.conv1(x))))
+        feats = []
+        for s in range(4):
+            h = getattr(self, f"layer{s + 1}")(h)
+            feats.append(h)
+        return feats
+
+
+class TFTB(tnn.Module):
+    def __init__(self, cin, mid):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(cin, mid, 3, padding=1)
+        self.conv_branch = tnn.Sequential(
+            tnn.ReLU(), tnn.Conv2d(mid, mid, 3, padding=1),
+            tnn.BatchNorm2d(mid), tnn.ReLU(),
+            tnn.Conv2d(mid, mid, 3, padding=1),
+        )
+
+    def forward(self, x):
+        x = self.conv1(x)
+        return F.relu(x + self.conv_branch(x))
+
+
+class TFFM(tnn.Module):
+    def __init__(self, cin, mid, out):
+        super().__init__()
+        self.ftb1 = TFTB(cin, mid)
+        self.ftb2 = TFTB(mid, out)
+
+    def forward(self, low, high):
+        x = self.ftb1(low) + high
+        x = self.ftb2(x)
+        return F.interpolate(x, scale_factor=2, mode="bilinear",
+                             align_corners=True)
+
+
+class TDecoder(tnn.Module):
+    def __init__(self, cfg):
+        super().__init__()
+        enc = [p * 4 for p in cfg.planes]
+        mid = cfg.mid
+        self.conv = TFTB(enc[3], mid[3])
+        self.conv1 = tnn.Conv2d(mid[3], mid[2], 3, padding=1)
+        self.ffm2 = TFFM(enc[2], mid[2], mid[2])
+        self.ffm1 = TFFM(enc[1], mid[1], mid[1])
+        self.ffm0 = TFFM(enc[0], mid[0], mid[0])
+
+        class TAO(tnn.Module):
+            def __init__(self, cin):
+                super().__init__()
+                self.adapt_conv = tnn.Sequential(
+                    tnn.Conv2d(cin, cin // 2, 3, padding=1),
+                    tnn.BatchNorm2d(cin // 2), tnn.ReLU(),
+                    tnn.Conv2d(cin // 2, 1, 3, padding=1),
+                    tnn.Upsample(scale_factor=2, mode="bilinear",
+                                 align_corners=True),
+                )
+
+            def forward(self, x):
+                return self.adapt_conv(x)
+
+        self.outconv = TAO(mid[0])
+
+    def forward(self, feats):
+        x = self.conv(feats[3])
+        x = self.conv1(x)
+        x = F.interpolate(x, scale_factor=2, mode="bilinear",
+                          align_corners=True)
+        x = self.ffm2(feats[2], x)
+        x = self.ffm1(feats[1], x)
+        x = self.ffm0(feats[0], x)
+        return self.outconv(x)
+
+
+class TRelDepthModel(tnn.Module):
+    """Key layout of res101.pth's checkpoint['depth_model'] after prefix
+    strip: depth_model.{encoder_modules,decoder_modules}.*"""
+
+    def __init__(self, cfg):
+        super().__init__()
+
+        class Inner(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.encoder_modules = TEncoder(cfg)
+                self.decoder_modules = TDecoder(cfg)
+
+            def forward(self, x):
+                return self.decoder_modules(self.encoder_modules(x))
+
+        self.depth_model = Inner()
+
+    def forward(self, x):
+        return self.depth_model(x)
+
+
+def _randomize_bn_stats(model, seed=0):
+    """Frozen-BN conversion must carry running stats, so make them
+    non-trivial."""
+    g = torch.Generator().manual_seed(seed)
+    for m in model.modules():
+        if isinstance(m, tnn.BatchNorm2d):
+            m.running_mean.copy_(torch.randn(m.num_features, generator=g) * 0.3)
+            m.running_var.copy_(torch.rand(m.num_features, generator=g) + 0.5)
+            m.weight.data.copy_(torch.rand(m.num_features, generator=g) + 0.5)
+            m.bias.data.copy_(torch.randn(m.num_features, generator=g) * 0.2)
+
+
+# ---------------------------------------------------------------------------
+# tests
+# ---------------------------------------------------------------------------
+
+
+def test_align_corners_resize_matches_torch():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 5, 7, 3)).astype(np.float32)
+    ours = L.resize_bilinear_align_corners(jnp.asarray(x), (10, 14))
+    with torch.no_grad():
+        theirs = F.interpolate(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)), scale_factor=2,
+            mode="bilinear", align_corners=True,
+        ).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(ours), theirs, atol=5e-6)
+
+
+def test_leres_conversion_matches_torch():
+    cfg = L.LeReSConfig.tiny()
+    torch.manual_seed(0)
+    tnet = TRelDepthModel(cfg)
+    with torch.no_grad():
+        _randomize_bn_stats(tnet)
+    tnet.eval()
+    state = {k: v.detach().numpy() for k, v in tnet.state_dict().items()}
+
+    name_map = WC.leres_name_map(cfg)
+    relevant = {k for k in state if not k.endswith("num_batches_tracked")}
+    assert relevant.issubset(set(name_map)), sorted(relevant - set(name_map))
+    assert set(name_map).issubset(relevant), sorted(set(name_map) - relevant)
+
+    model = L.RelDepthModel(cfg)
+    ref = jax.eval_shape(lambda: model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))))["params"]
+    params = WC.fill_missing_params(
+        WC.convert_torch_state_dict(state, name_map), ref)
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((1, 64, 64, 3)).astype(np.float32)
+    ours = model.apply({"params": params}, jnp.asarray(x))
+    with torch.no_grad():
+        theirs = tnet(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(
+        np.asarray(ours), theirs.numpy()[:, 0], atol=5e-4)
+
+
+def test_leres_resnext101_map_structure():
+    """The full-size map must cover exactly the 88M-parameter
+    resnext101_32x8d + decoder layout of res101.pth (checked against a
+    torch-constructed state dict — construction only, no forward)."""
+    cfg = L.LeReSConfig.resnext101()
+    tnet = TRelDepthModel(cfg)
+    keys = {k for k in tnet.state_dict()
+            if not k.endswith("num_batches_tracked")}
+    name_map = WC.leres_name_map(cfg)
+    assert keys == set(name_map), (
+        sorted(keys - set(name_map))[:5], sorted(set(name_map) - keys)[:5])
+    # spot-check canonical key names
+    for key in [
+        "depth_model.encoder_modules.layer3.22.conv2.weight",
+        "depth_model.encoder_modules.layer2.0.downsample.1.running_var",
+        "depth_model.decoder_modules.ffm0.ftb2.conv_branch.4.bias",
+        "depth_model.decoder_modules.outconv.adapt_conv.3.weight",
+    ]:
+        assert key in name_map, key
+
+
+def test_load_leres_checkpoint_roundtrip(tmp_path):
+    """End-to-end: a saved checkpoint in the res101.pth container format
+    ({'depth_model': {'module.'-prefixed state dict}}) loads — wrong-layout
+    files fail loudly."""
+    cfg = L.LeReSConfig.resnext101()
+    # full-size load is exercised via key-presence only (construction is
+    # cheap; avoid the 88M forward on CPU) — use the tiny net for numerics
+    tiny = L.LeReSConfig.tiny()
+    torch.manual_seed(2)
+    tnet = TRelDepthModel(tiny)
+    sd = {"module." + k: v for k, v in tnet.state_dict().items()}
+    torch.save({"depth_model": sd}, tmp_path / "res101.pth")
+
+    import pytest
+
+    with pytest.raises(ValueError, match="layout mismatch"):
+        # loader targets the resnext101 config; tiny-shaped dict must fail
+        WC.load_leres_checkpoint(str(tmp_path / "res101.pth"))
+
+    big = TRelDepthModel(cfg)
+    sd = {"module." + k: v for k, v in big.state_dict().items()}
+    torch.save({"depth_model": sd}, tmp_path / "res101_full.pth")
+    params = WC.load_leres_checkpoint(str(tmp_path / "res101_full.pth"))
+    got = np.asarray(params["encoder"]["conv1"]["kernel"])
+    want = big.state_dict()[
+        "depth_model.encoder_modules.conv1.weight"].numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(got, want, atol=1e-7)
+
+
+def test_find_leres_checkpoint_search_paths(tmp_path):
+    from text2nerf_tpu.services.depth_service import _find_leres_checkpoint
+
+    assert _find_leres_checkpoint("") is None
+    assert _find_leres_checkpoint(str(tmp_path)) is None
+    # reference layout: weights_BoostingMonocularDepth/pix2pix/checkpoints
+    boost = tmp_path / "weights_BoostingMonocularDepth" / "pix2pix" / "checkpoints"
+    boost.mkdir(parents=True)
+    (boost / "res101.pth").write_bytes(b"x")
+    leres_dir = tmp_path / "leres"
+    leres_dir.mkdir()
+    assert _find_leres_checkpoint(str(leres_dir)) == str(boost / "res101.pth")
+    # direct file in the service dir wins
+    (leres_dir / "res101.pth").write_bytes(b"x")
+    assert _find_leres_checkpoint(str(leres_dir)) == str(
+        leres_dir / "res101.pth")

@@ -123,7 +123,17 @@ def load_checkpoint(path: str):
 # -- orbax backend (async, multi-host) ----------------------------------------
 
 
-def save_orbax(path: str, cfg: TensoRFConfig, params, aabb, extras=None):
+def save_orbax(
+    path: str,
+    cfg: TensoRFConfig,
+    params,
+    aabb,
+    extras=None,
+    loop_state: Optional[dict] = None,
+):
+    """Orbax (OCDBT) checkpoint for multi-host runs: every process writes
+    its shards of a jax.sharding-annotated params tree; cfg + loop state go
+    to JSON sidecars inside the directory."""
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
@@ -131,19 +141,36 @@ def save_orbax(path: str, cfg: TensoRFConfig, params, aabb, extras=None):
     if extras:
         payload["extras"] = extras
     ckptr.save(os.path.abspath(path), payload, force=True)
+    ckptr.wait_until_finished()
     with open(os.path.join(os.path.abspath(path), "cfg.json"), "w") as f:
         json.dump(cfg.to_dict(), f)
-    ckptr.wait_until_finished()
+    if loop_state is not None:
+        with open(os.path.join(os.path.abspath(path),
+                               "loop_state.json"), "w") as f:
+            json.dump(loop_state, f)
 
 
-def load_orbax(path: str, like_params, like_aabb):
+def load_orbax(path: str, like_params=None, like_aabb=None):
+    """Restore an orbax checkpoint → (cfg, params, aabb, loop_state|None).
+
+    ``like_params``/``like_aabb`` (abstract arrays or concrete values with
+    the target shardings) direct a sharded restore; without them arrays
+    come back unsharded on the default device."""
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
     with open(os.path.join(os.path.abspath(path), "cfg.json")) as f:
         cfg = TensoRFConfig.from_dict(json.load(f))
-    restored = ckptr.restore(
-        os.path.abspath(path),
-        {"params": like_params, "aabb": jnp.asarray(like_aabb)},
-    )
-    return cfg, restored["params"], restored["aabb"]
+    if like_params is not None:
+        restored = ckptr.restore(
+            os.path.abspath(path),
+            {"params": like_params, "aabb": jnp.asarray(like_aabb)},
+        )
+    else:
+        restored = ckptr.restore(os.path.abspath(path))
+    loop_state = None
+    ls_path = os.path.join(os.path.abspath(path), "loop_state.json")
+    if os.path.exists(ls_path):
+        with open(ls_path) as f:
+            loop_state = json.load(f)
+    return cfg, restored["params"], restored["aabb"], loop_state

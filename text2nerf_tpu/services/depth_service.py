@@ -264,30 +264,100 @@ class BoostedDepthEstimator:
         return (65535.0 * norm).astype(np.float64)
 
 
+def _find_leres_checkpoint(weights_path: str):
+    """Locate a res101.pth torch checkpoint: the path itself, inside it,
+    or at the reference's location
+    (weights_BoostingMonocularDepth/pix2pix/checkpoints/res101.pth,
+    depth_esti_boosting.py:195)."""
+    import os
+
+    if not weights_path:
+        return None
+    candidates = [weights_path]
+    if os.path.isdir(weights_path):
+        candidates += [
+            os.path.join(weights_path, "res101.pth"),
+            os.path.join(weights_path, "pix2pix", "checkpoints", "res101.pth"),
+            os.path.join(os.path.dirname(weights_path),
+                         "weights_BoostingMonocularDepth", "pix2pix",
+                         "checkpoints", "res101.pth"),
+        ]
+    for cand in candidates:
+        if os.path.isfile(cand) and cand.endswith(".pth"):
+            return cand
+    return None
+
+
+def _find_midas_checkpoint(weights_path: str):
+    """Locate midas/model.pt (the reference loads it from
+    weights_BoostingMonocularDepth/midas/model.pt,
+    depth_esti_boosting.py:181)."""
+    import os
+
+    if not weights_path:
+        return None
+    candidates = [weights_path]
+    if os.path.isdir(weights_path):
+        candidates += [
+            os.path.join(weights_path, "model.pt"),
+            os.path.join(weights_path, "midas", "model.pt"),
+            os.path.join(os.path.dirname(weights_path),
+                         "weights_BoostingMonocularDepth", "midas",
+                         "model.pt"),
+        ]
+    for cand in candidates:
+        if os.path.isfile(cand) and cand.endswith(".pt"):
+            return cand
+    return None
+
+
 def make_depth_estimator(weights_path: str, net: str = "leres"):
-    """Boosted estimator backed by the Flax depth net + merge pix2pix."""
+    """Boosted estimator backed by the Flax depth net + merge pix2pix.
+
+    With real checkpoints present, uses the faithful architectures
+    (models/leres.RelDepthModel for res101.pth, models/midas.MidasNet for
+    midas/model.pt — both torch-verified conversions); otherwise the
+    generic weights-free RelDepthNet stand-in keeps the machinery
+    hermetically testable."""
     import jax
     import jax.numpy as jnp
 
     from ..models.monodepth import RelDepthNet, DepthNetConfig
     from ..models.pix2pix import UnetGenerator, minmax_normalize
-    from .weight_convert import load_converted
+    from .weight_convert import (
+        load_converted, load_leres_checkpoint, load_midas_checkpoint,
+    )
 
-    cfgs = {
-        "leres": DepthNetConfig.leres(),
-        "midas": DepthNetConfig.midas(),
-        "sgrnet": DepthNetConfig.sgrnet(),
-    }
-    model = RelDepthNet(cfgs[net], dtype=jnp.bfloat16)
     converted = load_converted(weights_path)
-    if converted is not None and "depth" in converted:
-        params = converted["depth"]
-        merge_params = converted.get("merge")
+    merge_params = converted.get("merge") if converted else None
+
+    leres_ckpt = _find_leres_checkpoint(weights_path) if net == "leres" else None
+    midas_ckpt = _find_midas_checkpoint(weights_path) if net == "midas" else None
+    midas_real = False
+    if leres_ckpt is not None:
+        from ..models.leres import LeReSConfig, RelDepthModel
+
+        model = RelDepthModel(LeReSConfig.resnext101(), dtype=jnp.bfloat16)
+        params = load_leres_checkpoint(leres_ckpt)
+    elif midas_ckpt is not None:
+        from ..models.midas import MidasNet
+
+        model = MidasNet(dtype=jnp.bfloat16)
+        params = load_midas_checkpoint(midas_ckpt)
+        midas_real = True
     else:
-        params = model.init(
-            jax.random.PRNGKey(0), jnp.zeros((1, 448, 448, 3))
-        )["params"]
-        merge_params = None
+        cfgs = {
+            "leres": DepthNetConfig.leres(),
+            "midas": DepthNetConfig.midas(),
+            "sgrnet": DepthNetConfig.sgrnet(),
+        }
+        model = RelDepthNet(cfgs[net], dtype=jnp.bfloat16)
+        if converted is not None and "depth" in converted:
+            params = converted["depth"]
+        else:
+            params = model.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 448, 448, 3))
+            )["params"]
 
     apply = jax.jit(model.apply)
 
@@ -295,7 +365,16 @@ def make_depth_estimator(weights_path: str, net: str = "leres"):
         import cv2
 
         sz = int(size)
-        x = cv2.resize(img, (sz, sz), interpolation=cv2.INTER_CUBIC)
+        if midas_real:
+            # the MiDaS transform keeps aspect ratio and snaps each side
+            # to a multiple of 32 (estimatemidas, depth_esti_boosting.py:
+            # 498-512; midas/models/transforms.py upper_bound)
+            from ..models.midas import midas_resize_shape
+
+            nh, nw = midas_resize_shape(img.shape[0], img.shape[1], sz)
+            x = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_CUBIC)
+        else:
+            x = cv2.resize(img, (sz, sz), interpolation=cv2.INTER_CUBIC)
         x = (x - np.array([0.485, 0.456, 0.406])) / np.array(
             [0.229, 0.224, 0.225]
         )  # imagenet normalization (estimateleres, depth_esti_boosting.py:555+)

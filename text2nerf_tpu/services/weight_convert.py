@@ -275,6 +275,191 @@ def convert_clip_text(state_dict, layers: int, reference_params):
 
 
 # ---------------------------------------------------------------------------
+# LeReS (res101.pth checkpoint layout) name map
+# ---------------------------------------------------------------------------
+
+
+def _bn_map(t: str, f: str) -> Dict[str, str]:
+    """torch BatchNorm2d → models/leres.FrozenBatchNorm (running stats
+    become plain parameters)."""
+    return {
+        f"{t}.weight": f"{f}/scale",
+        f"{t}.bias": f"{f}/bias",
+        f"{t}.running_mean": f"raw:{f}/mean",
+        f"{t}.running_var": f"raw:{f}/var",
+    }
+
+
+def _ftb_map(t: str, f: str) -> Dict[str, str]:
+    """network_auxi.FTB: conv1 + conv_branch Sequential(ReLU, Conv, BN,
+    ReLU, Conv) — convs at indices 1 and 4, BN at 2."""
+    m = {
+        f"{t}.conv1.weight": f"{f}/conv1/kernel",
+        f"{t}.conv1.bias": f"{f}/conv1/bias",
+        f"{t}.conv_branch.1.weight": f"{f}/branch_conv1/kernel",
+        f"{t}.conv_branch.1.bias": f"{f}/branch_conv1/bias",
+        f"{t}.conv_branch.4.weight": f"{f}/branch_conv2/kernel",
+        f"{t}.conv_branch.4.bias": f"{f}/branch_conv2/bias",
+    }
+    m.update(_bn_map(f"{t}.conv_branch.2", f"{f}/branch_bn"))
+    return m
+
+
+def leres_name_map(cfg) -> Dict[str, str]:
+    """torch→Flax map for the LeReS RelDepthModel (res101.pth):
+    depth_model.encoder_modules.* (torchvision ResNeXt layout,
+    lib/Resnext_torch.py:119-236) and depth_model.decoder_modules.*
+    (FTB/FFM/AO decoder, lib/network_auxi.py:15-62)."""
+    e = "depth_model.encoder_modules"
+    d = "depth_model.decoder_modules"
+    m = {f"{e}.conv1.weight": "encoder/conv1/kernel"}
+    m.update(_bn_map(f"{e}.bn1", "encoder/bn1"))
+    inplanes = cfg.planes[0]
+    for s, (planes, n_blocks) in enumerate(zip(cfg.planes, cfg.blocks)):
+        for b in range(n_blocks):
+            t = f"{e}.layer{s + 1}.{b}"
+            f = f"encoder/layer{s + 1}_{b}"
+            for k in (1, 2, 3):
+                m[f"{t}.conv{k}.weight"] = f"{f}/conv{k}/kernel"
+                m.update(_bn_map(f"{t}.bn{k}", f"{f}/bn{k}"))
+            stride = 2 if (b == 0 and s > 0) else 1
+            if b == 0 and (stride != 1 or inplanes != planes * 4):
+                m[f"{t}.downsample.0.weight"] = f"{f}/downsample_conv/kernel"
+                m.update(_bn_map(f"{t}.downsample.1", f"{f}/downsample_bn"))
+            inplanes = planes * 4
+    m.update(_ftb_map(f"{d}.conv", "decoder/conv"))
+    m[f"{d}.conv1.weight"] = "decoder/conv1/kernel"
+    m[f"{d}.conv1.bias"] = "decoder/conv1/bias"
+    for name in ("ffm2", "ffm1", "ffm0"):
+        m.update(_ftb_map(f"{d}.{name}.ftb1", f"decoder/{name}/ftb1"))
+        m.update(_ftb_map(f"{d}.{name}.ftb2", f"decoder/{name}/ftb2"))
+    # AO head: adapt_conv Sequential(Conv, BN, ReLU, Conv, Upsample)
+    m[f"{d}.outconv.adapt_conv.0.weight"] = "decoder/outconv/conv1/kernel"
+    m[f"{d}.outconv.adapt_conv.0.bias"] = "decoder/outconv/conv1/bias"
+    m.update(_bn_map(f"{d}.outconv.adapt_conv.1", "decoder/outconv/bn"))
+    m[f"{d}.outconv.adapt_conv.3.weight"] = "decoder/outconv/conv2/kernel"
+    m[f"{d}.outconv.adapt_conv.3.bias"] = "decoder/outconv/conv2/bias"
+    return m
+
+
+def load_leres_checkpoint(path: str):
+    """Load a LeReS checkpoint (res101.pth stores the model under
+    checkpoint['depth_model'] with an optional 'module.' DataParallel
+    prefix — lib/net_tools.py load_ckpt/strip_prefix_if_present) and
+    convert to a Flax RelDepthModel params tree."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    sd = ckpt.get("depth_model", ckpt) if isinstance(ckpt, dict) else ckpt
+    state = {}
+    for k, v in sd.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        state[k] = v.numpy()
+
+    from ..models.leres import LeReSConfig, RelDepthModel
+    import jax
+    import jax.numpy as jnp
+
+    cfg = LeReSConfig.resnext101()
+    model = RelDepthModel(cfg)
+    ref = jax.eval_shape(lambda: model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))))["params"]
+    name_map = leres_name_map(cfg)
+    hits = sum(1 for k in name_map if k in state)
+    if hits < 0.99 * len(name_map):
+        raise ValueError(
+            f"LeReS checkpoint layout mismatch: {hits}/{len(name_map)} "
+            f"mapped keys present in {path}")
+    return fill_missing_params(convert_torch_state_dict(state, name_map), ref)
+
+
+# ---------------------------------------------------------------------------
+# MiDaS v2.1 (midas/model.pt checkpoint layout) name map
+# ---------------------------------------------------------------------------
+
+
+def _resnet_stage_map(t_prefix: str, f_prefix: str, stage: int, planes: int,
+                      n_blocks: int, inplanes: int) -> Dict[str, str]:
+    """One torchvision ResNet stage (layerN.{b}.conv/bn/downsample) →
+    leres.ResNetEncoder's layerN_{b} blocks.  Returns (map); the caller
+    tracks inplanes."""
+    m: Dict[str, str] = {}
+    for b in range(n_blocks):
+        t = f"{t_prefix}.{b}"
+        f = f"{f_prefix}/layer{stage}_{b}"
+        for k in (1, 2, 3):
+            m[f"{t}.conv{k}.weight"] = f"{f}/conv{k}/kernel"
+            m.update(_bn_map(f"{t}.bn{k}", f"{f}/bn{k}"))
+        stride = 2 if (b == 0 and stage > 1) else 1
+        if b == 0 and (stride != 1 or inplanes != planes * 4):
+            m[f"{t}.downsample.0.weight"] = f"{f}/downsample_conv/kernel"
+            m.update(_bn_map(f"{t}.downsample.1", f"{f}/downsample_bn"))
+        inplanes = planes * 4
+    return m
+
+
+def midas_name_map(cfg) -> Dict[str, str]:
+    """torch→Flax map for MidasNet (midas/models/midas_net.py:12-76):
+    pretrained.layer1 is Sequential[conv1, bn1, relu, maxpool, layer1] so
+    the stem sits at indices 0/1 and stage-1 blocks under index 4;
+    stages 2-4 are the plain torchvision layers; scratch carries the
+    lateral convs, refinenets, and the output head Sequential."""
+    m = {f"pretrained.layer1.0.weight": "pretrained/conv1/kernel"}
+    m.update(_bn_map("pretrained.layer1.1", "pretrained/bn1"))
+    inplanes = cfg.planes[0]
+    for s, (planes, n_blocks) in enumerate(zip(cfg.planes, cfg.blocks)):
+        t_prefix = ("pretrained.layer1.4" if s == 0
+                    else f"pretrained.layer{s + 1}")
+        m.update(_resnet_stage_map(t_prefix, "pretrained", s + 1, planes,
+                                   n_blocks, inplanes))
+        inplanes = planes * 4
+    for i in range(4):
+        m[f"scratch.layer{i + 1}_rn.weight"] = f"layer{i + 1}_rn/kernel"
+    for k in range(1, 5):
+        for j in (1, 2):
+            for c in (1, 2):
+                base = f"scratch.refinenet{k}.resConfUnit{j}.conv{c}"
+                f = f"refinenet{k}/resConfUnit{j}/conv{c}"
+                m[f"{base}.weight"] = f"{f}/kernel"
+                m[f"{base}.bias"] = f"{f}/bias"
+    for t_idx, f_name in ((0, "output_conv1"), (2, "output_conv2"),
+                          (4, "output_conv3")):
+        m[f"scratch.output_conv.{t_idx}.weight"] = f"{f_name}/kernel"
+        m[f"scratch.output_conv.{t_idx}.bias"] = f"{f_name}/bias"
+    return m
+
+
+def load_midas_checkpoint(path: str):
+    """Load a MiDaS v2.1 checkpoint (midas/model.pt — a plain state dict,
+    midas/models/base_model.py) and convert to Flax MidasNet params."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if "state_dict" in sd:
+        sd = sd["state_dict"]
+    state = {k.replace("module.", "", 1) if k.startswith("module.") else k:
+             v.numpy() for k, v in sd.items()}
+
+    from ..models.leres import LeReSConfig
+    from ..models.midas import MidasNet
+    import jax
+    import jax.numpy as jnp
+
+    cfg = LeReSConfig.resnext101()
+    model = MidasNet(cfg)
+    ref = jax.eval_shape(lambda: model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))))["params"]
+    name_map = midas_name_map(cfg)
+    hits = sum(1 for k in name_map if k in state)
+    if hits < 0.99 * len(name_map):
+        raise ValueError(
+            f"MiDaS checkpoint layout mismatch: {hits}/{len(name_map)} "
+            f"mapped keys present in {path}")
+    return fill_missing_params(convert_torch_state_dict(state, name_map), ref)
+
+
+# ---------------------------------------------------------------------------
 # Stable Diffusion (diffusers checkpoint layout) name maps
 # ---------------------------------------------------------------------------
 
