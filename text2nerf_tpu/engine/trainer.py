@@ -85,6 +85,10 @@ class TrainConfig:
     # every stage boundary; a crashed run restarts from the last completed
     # view (the reference can only restart from scratch, SURVEY §5)
     resume: bool = False
+    # 'npz' (single portable file) or 'orbax' (async OCDBT directory —
+    # every process writes its shards of a sharding-annotated params tree;
+    # the multi-host backend for pod runs)
+    checkpoint_backend: str = "npz"
 
 
 def _epoch_iters(n_rays: int, batch: int) -> int:
@@ -140,11 +144,20 @@ def reconstruction(
         for k, v in {**dataclasses.asdict(cfg), **dataclasses.asdict(scene_cfg)}.items():
             f.write(f"{k}:{v}\n")
 
-    resume_ckpt = os.path.join(logfolder, f"{cfg.expname}_resume.npz")
+    orbax = cfg.checkpoint_backend == "orbax"
+    resume_ckpt = os.path.join(
+        logfolder,
+        f"{cfg.expname}_resume" + ("" if orbax else ".npz"),
+    )
     resume_snap = os.path.join(logfolder, "scene_snapshot.npz")
     resume_state = None
     if cfg.resume and os.path.exists(resume_ckpt) and os.path.exists(resume_snap):
-        mcfg, params, aabb, _, resume_state = ckpt.load_checkpoint(resume_ckpt)
+        if orbax:
+            mcfg, params, aabb, resume_state = ckpt.load_orbax(resume_ckpt)
+            params = jax.tree_util.tree_map(jnp.asarray, params)
+            aabb = jnp.asarray(aabb)
+        else:
+            mcfg, params, aabb, _, resume_state = ckpt.load_checkpoint(resume_ckpt)
         scene = ss.load_scene_snapshot(
             resume_snap, n_views_pools=resume_state["next_view"],
             trans_range=scene_cfg.trans_range,
@@ -238,13 +251,16 @@ def reconstruction(
             if cfg.resume:
                 # stage-boundary resume point: loop state + scene snapshot
                 ss.save_scene_snapshot(resume_snap, scene)
-                ckpt.save_checkpoint(
-                    resume_ckpt, mcfg, state.params, aabb,
-                    loop_state={
-                        "epoch": epoch, "next_view": view_idx,
-                        "tv_decay": tv_decay, "global_step": global_step,
-                    },
-                )
+                loop_state = {
+                    "epoch": epoch, "next_view": view_idx,
+                    "tv_decay": tv_decay, "global_step": global_step,
+                }
+                if orbax:
+                    ckpt.save_orbax(resume_ckpt, mcfg, state.params, aabb,
+                                    loop_state=loop_state)
+                else:
+                    ckpt.save_checkpoint(resume_ckpt, mcfg, state.params,
+                                         aabb, loop_state=loop_state)
             # the field just finished fitting the previous views: rebuild
             # the occupancy mask so the expansion's known-view renders and
             # the next round of evals use the compacted path
@@ -402,6 +418,12 @@ def reconstruction(
         mcfg, state.params, aabb, alpha_mask=eval_mask,
         loop_state={"view_idx": view_idx, "global_step": global_step},
     )
+    if orbax:
+        ckpt.save_orbax(
+            os.path.join(logfolder, f"{cfg.expname}_final"),
+            mcfg, state.params, aabb,
+            loop_state={"view_idx": view_idx, "global_step": global_step},
+        )
 
     if cfg.render_train:
         # render every training view to imgs_train_all
