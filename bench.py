@@ -64,7 +64,7 @@ def main():
     reso = tf.n_to_reso(27_000_000, aabb)
     n_samples = tf.default_n_samples(reso, cfg.step_ratio)
     params = build_scene_field(cfg, reso)
-    alpha_mask, _ = tf.update_alpha_mask(cfg, params, aabb, (200, 200, 200))
+    alpha_mask, _ = tf.update_alpha_mask(cfg, params, aabb, (200, 200, 200), pool=5)
     jax.block_until_ready(alpha_mask["volume"])
 
     h = w = 512

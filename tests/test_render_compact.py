@@ -55,6 +55,7 @@ def test_compact_matches_dense_with_mask():
     compact = R.render_rays_compact(
         CFG, params, AABB, rays, alpha_mask,
         n_samples=64, compact_k=32, app_k=32, white_bg=True,
+        feature_dtype="fp32",
     )
     occupancy = float((np.asarray(dense.weights) > 1e-6).sum(-1).max())
     assert occupancy <= 32, occupancy  # K covers all live samples
@@ -81,3 +82,47 @@ def test_compact_handles_all_empty_rays():
     )
     np.testing.assert_allclose(np.asarray(out.rgb), 1.0, atol=1e-3)
     np.testing.assert_allclose(np.asarray(out.acc), 0.0, atol=1e-4)
+
+
+def test_compact_stride2_bf16_close_to_dense():
+    """The production fast path (pool=5 mask -> stride-2 occupancy test +
+    bf16 feature lerp) stays within bf16 rounding of the dense fp32 render
+    and never drops a live sample (acc only grows or matches)."""
+    params, _ = _field_and_mask()
+    mask5, _ = tf.update_alpha_mask(CFG, params, AABB, (24, 24, 24), pool=5)
+    assert mask5["pool"] == 5
+    rays = _rays(seed=3)
+    dense = R.render_rays(
+        CFG, params, AABB, rays, n_samples=64, app_k=32, white_bg=True,
+    )
+    fast = R.render_rays_compact(
+        CFG, params, AABB, rays, mask5,
+        n_samples=64, compact_k=40, app_k=32, white_bg=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast.rgb), np.asarray(dense.rgb), atol=2e-2
+    )
+    # conservative: the dilated-stride test must not lose opacity
+    assert (np.asarray(fast.acc) >= np.asarray(dense.acc) - 2e-2).all()
+
+
+def test_compact_stride2_fp32_exact_vs_masked_dense():
+    """stride-2 with a pool-5 mask reproduces the dense render under the
+    same pool-5 mask up to compaction exactness (no bf16)."""
+    params, _ = _field_and_mask()
+    mask5, _ = tf.update_alpha_mask(CFG, params, AABB, (24, 24, 24), pool=5)
+    rays = _rays(seed=4)
+    dense = R.render_rays(
+        CFG, params, AABB, rays, n_samples=64, app_k=32,
+        white_bg=True, alpha_mask=mask5,
+    )
+    occupancy = float((np.asarray(dense.weights) > 1e-6).sum(-1).max())
+    assert occupancy <= 40, occupancy
+    fast = R.render_rays_compact(
+        CFG, params, AABB, rays, mask5,
+        n_samples=64, compact_k=40, app_k=40, white_bg=True,
+        feature_dtype="fp32",
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast.rgb), np.asarray(dense.rgb), atol=2e-3
+    )

@@ -55,3 +55,64 @@ def test_blender_loader(tmp_path):
     assert state.poses_gen.shape == (3, 4, 4)
     assert state.all_rgbs.shape == (3 * 32 * 32, 3)
     assert 0 <= state.all_rgbs.min() and state.all_rgbs.max() <= 1
+
+
+def test_fit_scenes_mesh_one_scene_per_device():
+    """BASELINE config #5 shape: 8 independent scenes, one per device of
+    the virtual v5e-8 mesh, fitted inside one vmapped+sharded jit
+    program."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding
+
+    from text2nerf_tpu.models import tensorf as tf
+    from text2nerf_tpu.ops import rays as R
+
+    n_scenes = 8
+    cfg = tf.TensoRFConfig(
+        density_n_comp=(2, 2, 2), app_n_comp=(4, 4, 4), app_dim=6,
+        fea_pe=2, feature_c=16,
+    )
+    aabb = np.array([[-8.0, -8.0, -8.0], [8.0, 8.0, 8.0]], np.float32)
+    reso = (24, 24, 24)
+
+    params = [
+        tf.init_params(jax.random.PRNGKey(i), cfg, reso)
+        for i in range(n_scenes)
+    ]
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *params
+    )
+
+    # one 16x16 forward-looking view per scene: a colored wall whose color
+    # and depth differ per scene (test_train_step.py toy-scene pattern)
+    h = w = 16
+    fx, fy, cx, cy = R.default_intrinsics(h, w)
+    dirs = R.ray_directions(h, w, (fx, fy), (cx, cy))
+    o, d = R.rays_from_pose(jnp.asarray(dirs), jnp.eye(4))
+    rays = np.asarray(jnp.concatenate([o, d], -1)).reshape(-1, 6)
+    uv = np.asarray(dirs).reshape(-1, 3)[:, :2]
+    pools = []
+    for i in range(n_scenes):
+        base = (i + 1) / (n_scenes + 1)
+        rgb = np.stack(
+            [base + 0.3 * uv[:, 0], 0.5 + 0.4 * uv[:, 1],
+             1.0 - base + 0 * uv[:, 0]], -1,
+        ).astype(np.float32)
+        depth = np.full((h * w,), 4.0 + 0.2 * i, np.float32)
+        pools.append((rays, rgb, depth))
+
+    stacked_aabbs = np.repeat(aabb[None], n_scenes, 0)
+    final, metrics = farm.fit_scenes_mesh(
+        cfg, stacked, stacked_aabbs, pools,
+        n_steps=40, batch_size=128, n_samples=48, app_k=16,
+        factor=1.0,
+    )
+    # every scene's fit improved
+    psnr = metrics["psnr"]
+    assert psnr.shape == (40, n_scenes)
+    assert (psnr[-1] > psnr[0] + 1.0).all(), (psnr[0], psnr[-1])
+    # arrays really live sharded over the 8 devices
+    leaf = jax.tree_util.tree_leaves(final)[0]
+    assert isinstance(leaf.sharding, NamedSharding)
+    assert len(leaf.sharding.device_set) == 8

@@ -87,6 +87,7 @@ def save_checkpoint(
         blobs["alphaMask.shape"] = np.asarray(vol.shape)
         blobs["alphaMask.mask"] = np.packbits(vol.reshape(-1))
         blobs["alphaMask.aabb"] = np.asarray(alpha_mask["aabb"])
+        blobs["alphaMask.pool"] = np.asarray(int(alpha_mask.get("pool", 3)))
     if loop_state is not None:
         blobs["__loop_state__"] = np.frombuffer(
             json.dumps(loop_state).encode(), dtype=np.uint8
@@ -109,6 +110,7 @@ def load_checkpoint(path: str):
         alpha_mask = {
             "volume": jnp.asarray(bits, jnp.float32),
             "aabb": jnp.asarray(data.pop("alphaMask.aabb")),
+            "pool": int(data.pop("alphaMask.pool", 3)),
         }
     loop_state = None
     if "__loop_state__" in data:

@@ -226,7 +226,10 @@ def reconstruction(
             return None
         reso_now = tf.grid_resolution(mcfg, state.params)
         mask_reso = tuple(min(r, 200) for r in reso_now)
-        mask, _ = tf.update_alpha_mask(mcfg, state.params, aabb, mask_reso)
+        # pool=5 dilation licenses the stride-2 occupancy test in
+        # render_rays_compact (PERF.md round 2)
+        mask, _ = tf.update_alpha_mask(mcfg, state.params, aabb, mask_reso,
+                                       pool=5)
         return mask
     pool_new = None
     sampler_new = None

@@ -330,49 +330,55 @@ def pack_params(cfg: TensoRFConfig, params):
     return packed
 
 
-def compute_density_feature_packed(cfg: TensoRFConfig, packed, xn):
+def compute_density_feature_packed(cfg: TensoRFConfig, packed, xn, dtype=None):
     """Fast-path density features via corner-packed gathers (6 rows/sample
-    instead of 18); numerically identical to compute_density_feature."""
+    instead of 18); numerically identical to compute_density_feature.
+
+    ``dtype`` (bf16 on the eval fast path) selects the value/lerp compute
+    precision — indices stay fp32 (fused_gather) and the output is cast
+    back to fp32."""
     from ..ops import fused_gather as fg
 
     if cfg.model_name == "cp":
         prod = None
         for i in range(3):
             tbl, (l, c) = packed["density"][i]
-            lf = fg.sample_packed_line(tbl, l, c, xn[:, VEC_MODE[i]])
+            lf = fg.sample_packed_line(tbl, l, c, xn[:, VEC_MODE[i]], dtype)
             prod = lf if prod is None else prod * lf
-        return jnp.sum(prod, axis=-1)
+        return jnp.sum(prod, axis=-1).astype(jnp.float32)
 
-    sigma = jnp.zeros(xn.shape[0], xn.dtype)
+    sigma = None
     for i in range(3):
         m0, m1 = MAT_MODE[i]
         ptbl, (h, w, c), ltbl, (l, _) = packed["density"][i]
-        pf = fg.sample_packed_plane(ptbl, h, w, c, xn[:, m0], xn[:, m1])
-        lf = fg.sample_packed_line(ltbl, l, c, xn[:, VEC_MODE[i]])
-        sigma = sigma + jnp.sum(pf * lf, axis=-1)
-    return sigma
+        pf = fg.sample_packed_plane(ptbl, h, w, c, xn[:, m0], xn[:, m1], dtype)
+        lf = fg.sample_packed_line(ltbl, l, c, xn[:, VEC_MODE[i]], dtype)
+        part = jnp.sum(pf * lf, axis=-1)
+        sigma = part if sigma is None else sigma + part
+    return sigma.astype(jnp.float32)
 
 
-def compute_app_feature_packed(cfg: TensoRFConfig, packed, xn):
+def compute_app_feature_packed(cfg: TensoRFConfig, packed, xn, dtype=None):
     """Fast-path appearance features via corner-packed gathers."""
     from ..ops import fused_gather as fg
 
+    basis = packed["basis"] if dtype is None else packed["basis"].astype(dtype)
     if cfg.model_name == "cp":
         prod = None
         for i in range(3):
             tbl, (l, c) = packed["app"][i]
-            lf = fg.sample_packed_line(tbl, l, c, xn[:, VEC_MODE[i]])
+            lf = fg.sample_packed_line(tbl, l, c, xn[:, VEC_MODE[i]], dtype)
             prod = lf if prod is None else prod * lf
-        return prod @ packed["basis"]
+        return (prod @ basis).astype(jnp.float32)
 
     feats = []
     for i in range(3):
         m0, m1 = MAT_MODE[i]
         ptbl, (h, w, c), ltbl, (l, _) = packed["app"][i]
-        pf = fg.sample_packed_plane(ptbl, h, w, c, xn[:, m0], xn[:, m1])
-        lf = fg.sample_packed_line(ltbl, l, c, xn[:, VEC_MODE[i]])
+        pf = fg.sample_packed_plane(ptbl, h, w, c, xn[:, m0], xn[:, m1], dtype)
+        lf = fg.sample_packed_line(ltbl, l, c, xn[:, VEC_MODE[i]], dtype)
         feats.append(pf * lf)
-    return jnp.concatenate(feats, axis=-1) @ packed["basis"]
+    return (jnp.concatenate(feats, axis=-1) @ basis).astype(jnp.float32)
 
 
 def feature2density(cfg: TensoRFConfig, feat):
@@ -513,16 +519,21 @@ def dense_alpha(cfg: TensoRFConfig, params, aabb, grid_size, step, chunk=64 ** 3
     return jnp.concatenate(outs).reshape(gx, gy, gz), dense_xyz
 
 
-def update_alpha_mask(cfg: TensoRFConfig, params, aabb, grid_size):
+def update_alpha_mask(cfg: TensoRFConfig, params, aabb, grid_size, pool: int = 3):
     """Build the binary alpha volume + tight AABB (updateAlphaMask,
-    tensorBase.py:346-370): 3x3x3 max-pool then threshold.
+    tensorBase.py:346-370): ``pool``^3 max-pool then threshold.
+
+    pool=3 reproduces the reference exactly; pool=2k+1 dilates by k voxels,
+    licensing the compacted renderer to test occupancy only every k-th
+    sample (the dict carries ``pool`` so render_rays_compact picks the
+    stride automatically).
     """
     step = step_size(aabb, grid_resolution(cfg, params), cfg.step_ratio)
     alpha, dense_xyz = dense_alpha(cfg, params, aabb, grid_size, step)
     # reference transposes to volume[z, y, x]
     vol = jnp.clip(alpha, 0, 1).transpose(2, 1, 0)
     vol = jax.lax.reduce_window(
-        vol, -jnp.inf, jax.lax.max, (3, 3, 3), (1, 1, 1), "SAME"
+        vol, -jnp.inf, jax.lax.max, (pool, pool, pool), (1, 1, 1), "SAME"
     )
     vol = (vol >= cfg.alpha_mask_thres).astype(jnp.float32)
 
@@ -538,7 +549,7 @@ def update_alpha_mask(cfg: TensoRFConfig, params, aabb, grid_size):
     )
     # an entirely-empty mask (early training) falls back to the full AABB
     new_aabb = jnp.where(jnp.isnan(new_aabb), jnp.asarray(aabb), new_aabb)
-    return {"volume": vol, "aabb": jnp.asarray(aabb)}, new_aabb
+    return {"volume": vol, "aabb": jnp.asarray(aabb), "pool": int(pool)}, new_aabb
 
 
 # ---------------------------------------------------------------------------

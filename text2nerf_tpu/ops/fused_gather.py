@@ -43,17 +43,23 @@ def _coords(u, size: int):
     return i0, t
 
 
-def sample_packed_plane(packed, h: int, w: int, c: int, x, y):
+def sample_packed_plane(packed, h: int, w: int, c: int, x, y, dtype=None):
     """Bilinear sample from a corner-packed plane table.
 
     Args:
       packed: (H*W, 4C) from :func:`pack_plane`.
       x, y: (N,) normalized coords in [-1, 1] (x indexes W, y indexes H).
+      dtype: optional compute dtype (bf16 on the eval fast path) for the
+        gathered values and lerp — index math stays fp32, so bf16 never
+        misindexes; it only rounds the interpolation (~1e-3 relative).
 
-    Returns: (N, C)
+    Returns: (N, C) in ``dtype`` (or the table dtype).
     """
     x0, tx = _coords(x, w)
     y0, ty = _coords(y, h)
+    if dtype is not None:
+        packed = packed.astype(dtype)
+        tx, ty = tx.astype(dtype), ty.astype(dtype)
     rows = jnp.take(packed, y0 * w + x0, axis=0)  # (N, 4C)
     f00 = rows[:, 0 * c : 1 * c]
     f01 = rows[:, 1 * c : 2 * c]
@@ -66,8 +72,11 @@ def sample_packed_plane(packed, h: int, w: int, c: int, x, y):
     return top * (1.0 - ty) + bot * ty
 
 
-def sample_packed_line(packed, l: int, c: int, y):
+def sample_packed_line(packed, l: int, c: int, y, dtype=None):
     """Linear sample from a pair-packed line table. Returns (N, C)."""
     y0, ty = _coords(y, l)
+    if dtype is not None:
+        packed = packed.astype(dtype)
+        ty = ty.astype(dtype)
     rows = jnp.take(packed, y0, axis=0)  # (N, 2C)
     return rows[:, :c] * (1.0 - ty[:, None]) + rows[:, c:] * ty[:, None]

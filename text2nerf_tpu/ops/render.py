@@ -74,13 +74,42 @@ def raw2alpha(sigma, dists):
     return alpha, weights, t[:, -1:]
 
 
+def _strip_pool(alpha_mask):
+    """Drop the host-side 'pool' tag before a mask dict enters jit."""
+    if alpha_mask is None:
+        return None
+    return {"volume": alpha_mask["volume"], "aabb": alpha_mask["aabb"]}
+
+
+def render_rays(
+    cfg: tf.TensoRFConfig,
+    params,
+    aabb,
+    rays,
+    rng: Optional[jax.Array] = None,
+    *,
+    n_samples: int,
+    app_k: int = 64,
+    is_train: bool = False,
+    white_bg: bool = True,
+    ndc: bool = False,
+    alpha_mask=None,
+    eval_z_min: float = 2.0,
+) -> RenderOutput:
+    return _render_rays(
+        cfg, params, aabb, rays, rng, n_samples=n_samples, app_k=app_k,
+        is_train=is_train, white_bg=white_bg, ndc=ndc,
+        alpha_mask=_strip_pool(alpha_mask), eval_z_min=eval_z_min,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "cfg", "n_samples", "app_k", "is_train", "white_bg", "ndc", "eval_z_min",
     ),
 )
-def render_rays(
+def _render_rays(
     cfg: tf.TensoRFConfig,
     params,
     aabb,
@@ -208,12 +237,6 @@ def _nearest_alpha_lookup(alpha_mask, pts):
     return jnp.take(flat, (iz * h + iy) * w + ix)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "cfg", "n_samples", "compact_k", "app_k", "white_bg", "eval_z_min",
-    ),
-)
 def render_rays_compact(
     cfg: tf.TensoRFConfig,
     params,
@@ -226,6 +249,7 @@ def render_rays_compact(
     app_k: int = 48,
     white_bg: bool = True,
     eval_z_min: float = 2.0,
+    feature_dtype: str = "bf16",
 ) -> RenderOutput:
     """Eval renderer with alpha-mask sample compaction.
 
@@ -241,7 +265,48 @@ def render_rays_compact(
     samples.  Feature gathers run only on B*K rows instead of B*S — the
     main throughput lever once a trained field has a tight occupancy
     mask (see PERF.md).
+
+    Two TPU levers on top (PERF.md round 2: +41% together):
+    - occupancy striding: when the mask was built with a ``pool`` > 3
+      dilation (update_alpha_mask), occupancy is tested only every
+      (pool-1)//2-th sample and broadcast — conservative because the
+      dilation covers the untested neighbors, so no live sample is missed;
+    - ``feature_dtype='bf16'``: value/lerp math of the feature gathers in
+      bfloat16 (index math stays fp32) — ~5e-3 max rgb deviation; pass
+      'fp32' for bit-level parity with the dense path.
     """
+    occ_stride = max(1, (int(alpha_mask.get("pool", 3)) - 1) // 2)
+    return _render_rays_compact(
+        cfg, params, aabb, rays, _strip_pool(alpha_mask),
+        n_samples=n_samples, compact_k=compact_k, app_k=app_k,
+        white_bg=white_bg, eval_z_min=eval_z_min, occ_stride=occ_stride,
+        feature_dtype=feature_dtype,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "n_samples", "compact_k", "app_k", "white_bg", "eval_z_min",
+        "occ_stride", "feature_dtype",
+    ),
+)
+def _render_rays_compact(
+    cfg: tf.TensoRFConfig,
+    params,
+    aabb,
+    rays,
+    alpha_mask,
+    *,
+    n_samples: int,
+    compact_k: int,
+    app_k: int,
+    white_bg: bool,
+    eval_z_min: float,
+    occ_stride: int,
+    feature_dtype: str,
+) -> RenderOutput:
+    fdt = jnp.bfloat16 if feature_dtype == "bf16" else None
     aabb = jnp.asarray(aabb)
     rays_o, rays_d = rays[:, :3], rays[:, 3:6]
     b = rays.shape[0]
@@ -253,9 +318,20 @@ def render_rays_compact(
 
     valid = jnp.all((pts >= aabb[0]) & (pts <= aabb[1]), axis=-1)
     valid = valid & (pts[..., 2] > eval_z_min)
-    occ = _nearest_alpha_lookup(alpha_mask, pts.reshape(-1, 3)).reshape(
-        b, n_samples
-    )
+    if occ_stride == 1:
+        occ = _nearest_alpha_lookup(alpha_mask, pts.reshape(-1, 3)).reshape(
+            b, n_samples
+        )
+    else:
+        # every occ_stride-th sample is tested; the mask's dilation covers
+        # the in-between samples, so broadcasting the tested value to its
+        # group never drops a live sample (it may add dead ones, which
+        # contribute sigma and get culled by k_live weighting anyway)
+        n_t = (n_samples + occ_stride - 1) // occ_stride
+        occ_t = _nearest_alpha_lookup(
+            alpha_mask, pts[:, ::occ_stride].reshape(-1, 3)
+        ).reshape(b, n_t)
+        occ = jnp.repeat(occ_t, occ_stride, axis=1)[:, :n_samples]
     live = valid & (occ > 0)
 
     # first-K live samples per ray, in ray order
@@ -271,7 +347,7 @@ def render_rays_compact(
 
     packed = tf.pack_params(cfg, params)
     feat = tf.compute_density_feature_packed(
-        cfg, packed, xn_k.reshape(-1, 3)
+        cfg, packed, xn_k.reshape(-1, 3), dtype=fdt
     ).reshape(b, k)
     sigma = jnp.where(k_live, tf.feature2density(cfg, feat), 0.0)
     # uniform eval sampling → every inter-sample dist is exactly `step`,
@@ -285,7 +361,9 @@ def render_rays_compact(
     w_top, aidx = jax.lax.top_k(weights, k2)
     xn_a = jnp.take_along_axis(xn_k, aidx[..., None], axis=1)
     app_ok = (w_top > cfg.raymarch_weight_thres)[..., None]
-    app_feat = tf.compute_app_feature_packed(cfg, packed, xn_a.reshape(-1, 3))
+    app_feat = tf.compute_app_feature_packed(
+        cfg, packed, xn_a.reshape(-1, 3), dtype=fdt
+    )
     dirs_a = jnp.broadcast_to(rays_d[:, None], (b, k2, 3)).reshape(-1, 3)
     rgb_a = _shade(
         cfg, params, xn_a.reshape(-1, 3), dirs_a, app_feat, False
@@ -312,6 +390,7 @@ def render_chunked(
     ndc: bool = False,
     alpha_mask=None,
     compact_k: int = 0,
+    feature_dtype: str = "bf16",
 ):
     """Host-side chunked renderer over an arbitrary ray count.
 
@@ -332,6 +411,7 @@ def render_chunked(
                 cfg, params, aabb, part, alpha_mask,
                 n_samples=n_samples, compact_k=compact_k,
                 app_k=min(app_k, compact_k), white_bg=white_bg,
+                feature_dtype=feature_dtype,
             )
         else:
             out = render_rays(

@@ -87,6 +87,98 @@ def run_farm(
     return results
 
 
+def fit_scenes_mesh(
+    cfg,
+    stacked_params,
+    aabbs,
+    pools,
+    *,
+    n_steps: int,
+    batch_size: int,
+    n_samples: int,
+    mesh=None,
+    axis: str = "scene",
+    app_k: int = 16,
+    white_bg: bool = True,
+    lr_init: float = 0.02,
+    lr_basis: float = 1e-3,
+    factor: float = 1.0,
+    seed: int = 0,
+):
+    """Mesh-native multi-scene fitting: S independent scenes, one per
+    device (BASELINE config #5 — the v5e-8 shape).
+
+    The train step is vmapped over a leading scene axis and every stacked
+    array is sharded over the mesh's ``axis``; XLA partitions the program
+    with zero collectives (scenes are independent), so each chip fits its
+    own scene at full speed inside ONE jit program — the TPU answer to
+    the reference's process-per-GPU launcher (auto_run_paramsets.py:
+    160-207).
+
+    Args:
+      stacked_params: params pytree with a leading S axis on every leaf.
+      aabbs: (S, 2, 3) scene bounds.
+      pools: list of S (rays, rgbs, depth) numpy pools (equal lengths).
+    Returns: (final stacked params, metrics dict of (n_steps, S) arrays).
+    """
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from ..engine import train_step as ts
+
+    n_scenes = aabbs.shape[0]
+    if mesh is None:
+        mesh = Mesh(np.array(jax.devices()[:n_scenes]), (axis,))
+    shard = NamedSharding(mesh, P(axis))
+
+    tx = ts.make_optimizer(
+        jax.tree_util.tree_map(lambda x: x[0], stacked_params),
+        lr_init, lr_basis, factor,
+    )
+    step_fn = ts.make_train_step(
+        cfg, tx, n_samples=n_samples, app_k=app_k, white_bg=white_bg,
+    )
+
+    def one(state_params, opt_state, step, aabb, batch, rng):
+        state = ts.TrainState(state_params, opt_state, step)
+        new_state, metrics = step_fn(state, aabb, batch, rng)
+        return new_state.params, new_state.opt_state, new_state.step, metrics
+
+    vstep = jax.vmap(one)
+
+    params = jax.device_put(stacked_params, shard)
+    opt_state = jax.device_put(jax.vmap(tx.init)(stacked_params), shard)
+    steps = jnp.zeros((n_scenes,), jnp.int32)
+    aabbs = jax.device_put(jnp.asarray(aabbs), shard)
+
+    samplers = [
+        ts.PermutationSampler(len(p[0]), batch_size, seed + i)
+        for i, p in enumerate(pools)
+    ]
+    key = jax.random.PRNGKey(seed)
+    history = []
+    for _ in range(n_steps):
+        batch = {}
+        picks = [s.next_ids() for s in samplers]
+        for j, name in enumerate(("rays", "rgb", "depth")):
+            batch[name] = jax.device_put(
+                jnp.asarray(np.stack(
+                    [pools[i][j][picks[i]] for i in range(n_scenes)])),
+                shard,
+            )
+        key, *ks = jax.random.split(key, n_scenes + 1)
+        params, opt_state, steps, metrics = vstep(
+            params, opt_state, steps, aabbs, batch, jnp.stack(ks)
+        )
+        history.append(metrics)
+    metrics = {
+        k: np.stack([np.asarray(h[k]) for h in history])
+        for k in history[0]
+    }
+    return params, metrics
+
+
 def param_grid(**axes) -> List[dict]:
     """Cartesian-product experiment combos (get_param_list,
     auto_run_paramsets.py:28-67)."""
