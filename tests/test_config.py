@@ -62,3 +62,26 @@ def test_reference_config_file_parses():
     assert vals["n_lamb_sigma"] == [16, 16, 16]
     assert vals["shadingMode"] == "MLP_Fea_noview"
     assert vals["step_ratio"] == 1.0
+
+
+def test_full_reference_flag_surface():
+    """Every flag the reference CLI accepts (e_opt.py:4-155) parses here;
+    the live ones land in the dataclasses."""
+    from text2nerf_tpu import config as C
+
+    p = C.build_parser()
+    args = p.parse_args([
+        "--datadir", "d", "--prompt", "x",
+        "--n_stage3", "7", "--N_vis", "5", "--progress_refresh_rate", "25",
+        "--lr_upsample_reset", "0", "--L1_weight_rest", "1e-5",
+        "--add_timestamp", "0", "--n_iters", "30000", "--perturb", "1.0",
+        "--accumulate_decay", "0.998", "--white_bkgd",
+        "--dibr_fill_strategy", "filter", "--inpaint_method", "sdm",
+        "--inpainted_dir", "", "--vis_every", "5000",
+    ])
+    train, scene, exp = C.to_configs(args)
+    assert train.n_stage3 == 7
+    assert train.n_vis == 5
+    assert train.progress_refresh_rate == 25
+    assert train.lr_upsample_reset is False
+    assert train.l1_weight_rest == 1e-5

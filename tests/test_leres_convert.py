@@ -289,3 +289,59 @@ def test_find_leres_checkpoint_search_paths(tmp_path):
     (leres_dir / "res101.pth").write_bytes(b"x")
     assert _find_leres_checkpoint(str(leres_dir)) == str(
         leres_dir / "res101.pth")
+
+
+class TSGRNet(torch.nn.Module):
+    """SGRNet DepthNet key layout (structuredrl/models/DepthNet.py:82-118):
+    the LeReS architecture under encoder./decoder. prefixes."""
+
+    def __init__(self, cfg):
+        super().__init__()
+        self.encoder = TEncoder(cfg)
+        self.decoder = TDecoder(cfg)
+
+    def forward(self, x):
+        return self.decoder(self.encoder(x))
+
+
+def test_sgrnet_conversion_matches_torch():
+    cfg = L.LeReSConfig(blocks=(1, 1, 1, 1), planes=(8, 16, 32, 64),
+                        groups=1, base_width=64, mid=(16, 16, 16, 32))
+    torch.manual_seed(5)
+    tnet = TSGRNet(cfg)
+    with torch.no_grad():
+        _randomize_bn_stats(tnet, seed=5)
+    tnet.eval()
+    state = {k: v.detach().numpy() for k, v in tnet.state_dict().items()}
+    name_map = WC.sgrnet_name_map(cfg)
+    relevant = {k for k in state if not k.endswith("num_batches_tracked")}
+    assert relevant == set(name_map), (
+        sorted(relevant - set(name_map))[:5],
+        sorted(set(name_map) - relevant)[:5])
+
+    model = L.RelDepthModel(cfg)
+    ref = jax.eval_shape(lambda: model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))))["params"]
+    params = WC.fill_missing_params(
+        WC.convert_torch_state_dict(state, name_map), ref)
+
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((1, 64, 64, 3)).astype(np.float32)
+    ours = model.apply({"params": params}, jnp.asarray(x))
+    with torch.no_grad():
+        theirs = tnet(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(
+        np.asarray(ours), theirs.numpy()[:, 0], atol=5e-4)
+
+
+def test_load_sgrnet_checkpoint_container(tmp_path):
+    """model.pth.tar container: {'state_dict': module.-prefixed DepthNet}
+    (depth_esti_boosting.py:190-191)."""
+    cfg = L.LeReSConfig.resnet50()
+    tnet = TSGRNet(cfg)
+    sd = {"module." + k: v for k, v in tnet.state_dict().items()}
+    torch.save({"state_dict": sd}, tmp_path / "model.pth.tar")
+    params = WC.load_sgrnet_checkpoint(str(tmp_path / "model.pth.tar"))
+    got = np.asarray(params["encoder"]["conv1"]["kernel"])
+    want = tnet.state_dict()["encoder.conv1.weight"].numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(got, want, atol=1e-7)

@@ -123,6 +123,49 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--render_train", type=int, default=0)
     p.add_argument("--type_depth_loss", type=str, default="mse",
                    choices=["mse", "ssi", "silog"])
+    p.add_argument("--n_stage3", type=int, default=10,
+                   help="stage-3 epochs over the full ray pool "
+                   "(e_opt.py; the reference hardcodes 10, "
+                   "text2nerf_main.py:468)")
+    p.add_argument("--N_vis", type=int, default=-1,
+                   help="evaluate only N_vis equally-spaced views "
+                   "(e_opt.py:138, renderer.py:83-84)")
+    p.add_argument("--vis_every", type=int, default=10000,
+                   help="accepted for CLI parity (e_opt.py:141); "
+                   "eval cadence is epoch-based here (eval_every_epochs)")
+    p.add_argument("--progress_refresh_rate", type=int, default=50,
+                   help="scalar-logging cadence in steps (e_opt.py:10; "
+                   "the reference's tqdm refresh rate)")
+    p.add_argument("--lr_upsample_reset", type=int, default=1,
+                   help="reset LR schedule after grid upsampling "
+                   "(e_opt.py:66-67)")
+    p.add_argument("--L1_weight_rest", type=float, default=0.0,
+                   help="L1 weight after the first alpha-mask update "
+                   "(e_opt.py:72-73; live only with "
+                   "--update_AlphaMask_list)")
+    p.add_argument("--add_timestamp", type=int, default=0,
+                   help="append a timestamp to the log folder (e_opt.py:13)")
+    p.add_argument("--n_iters", type=int, default=30000,
+                   help="accepted for CLI parity (e_opt.py:53); training "
+                   "length is epoch-based (n_stage1/2/3)")
+    p.add_argument("--perturb", type=float, default=1.0,
+                   help="accepted for CLI parity (e_opt.py:97); train-time "
+                   "sample jitter is always on, as in the reference loop")
+    p.add_argument("--accumulate_decay", type=float, default=0.998,
+                   help="accepted for CLI parity (e_opt.py:98); never read "
+                   "by the reference pipeline")
+    p.add_argument("--white_bkgd", action="store_true", default=False,
+                   help="accepted for CLI parity (e_opt.py:96); background "
+                   "comes from the scene config, as in the reference")
+    p.add_argument("--dibr_fill_strategy", type=str, default="filter",
+                   help="accepted for CLI parity (e_opt.py:34); hole "
+                   "filling follows use_filter_filling_holes")
+    p.add_argument("--inpaint_method", type=str, default="sdm",
+                   help="accepted for CLI parity (e_opt.py:32); SD "
+                   "inpainting is the only method, as in the reference")
+    p.add_argument("--inpainted_dir", type=str, default="",
+                   help="accepted for CLI parity (e_opt.py:33); never read "
+                   "by the reference pipeline")
     p.add_argument("--eval_compact_k", type=int, default=64,
                    help="alpha-mask sample compaction for eval renders "
                    "(0 = dense path)")
@@ -191,6 +234,12 @@ def to_configs(args):
         render_train=bool(args.render_train),
         depth_loss_type=args.type_depth_loss,
         eval_compact_k=args.eval_compact_k,
+        n_stage3=args.n_stage3,
+        n_vis=args.N_vis,
+        progress_refresh_rate=args.progress_refresh_rate,
+        lr_upsample_reset=bool(args.lr_upsample_reset),
+        l1_weight_rest=args.L1_weight_rest,
+        add_timestamp=bool(args.add_timestamp),
         seed=args.seed, model=model,
     )
     scene = SceneConfig(

@@ -64,6 +64,12 @@ class TrainConfig:
     render_path: bool = False
     render_train: bool = False       # --render_train (e_opt.py:40,
                                      # text2nerf_main.py:629-634)
+    n_stage3: int = 10               # stage-3 epochs (text2nerf_main.py:468)
+    n_vis: int = -1                  # --N_vis eval view subsampling
+    progress_refresh_rate: int = 50  # scalar-log cadence (e_opt.py:10)
+    l1_weight_rest: float = 0.0      # --L1_weight_rest: L1 weight after the
+                                     # first alpha-mask update (TensoRF rule)
+    add_timestamp: bool = False      # --add_timestamp (e_opt.py:13)
     depth_loss_type: str = "mse"     # --type_depth_loss (e_opt.py:20)
     # eval-render compaction: rebuild the alpha-grid mask at each stage
     # boundary after stage 1 and route evaluation / expansion renders
@@ -138,6 +144,10 @@ def reconstruction(
         f"{cfg.expname}_{scene_cfg.prompt.replace(' ', '_')}"
         f"_{scene_cfg.angle}_{scene_cfg.trans_range}",
     )
+    if cfg.add_timestamp:
+        import datetime
+
+        logfolder += datetime.datetime.now().strftime("-%Y%m%d-%H%M%S")
     os.makedirs(logfolder, exist_ok=True)
     log = MetricsLogger(os.path.join(logfolder, "metrics.jsonl"))
     with open(os.path.join(logfolder, "args.txt"), "w") as f:
@@ -242,7 +252,7 @@ def reconstruction(
         tv_decay = float(resume_state.get("tv_decay", 1.0))
         global_step = int(resume_state.get("global_step", 0))
 
-    for epoch in range(start_epoch, n_total + 10):
+    for epoch in range(start_epoch, n_total + cfg.n_stage3):
         # --- stage-boundary: expand the scene ------------------------------
         if (
             cfg.n_stage2 > 0
@@ -310,7 +320,7 @@ def reconstruction(
             )
             pool_new = None
             n_iters_epoch = _epoch_iters(len(pool_pre[0]), cfg.batch_size)
-            decay_iters = n_iters_epoch * 10
+            decay_iters = n_iters_epoch * max(cfg.n_stage3, 1)
             factor = ts.lr_factor(cfg.lr_decay_target_ratio, decay_iters)
             state, tx = ts.make_train_state(
                 state.params, cfg.lr_init, cfg.lr_basis, factor
@@ -365,6 +375,10 @@ def reconstruction(
                     state, tx = ts.make_train_state(
                         params_sh, cfg.lr_init, cfg.lr_basis, factor
                     )
+                    # TensoRF's L1_weight_rest rule: the L1 weight switches
+                    # after the first alpha-mask update (train.py upstream;
+                    # e_opt.py:72-73)
+                    weights = weights._replace(l1=cfg.l1_weight_rest)
                     step_fn = make_step(tx)
             use_replay = (
                 view_idx == 0 or it % 5 == 0 or epoch >= n_total
@@ -380,7 +394,7 @@ def reconstruction(
             state, metrics = step_fn(state, aabb, batch, k, tv_decay)
             tv_decay *= factor
             global_step += 1
-            if global_step % 50 == 0:
+            if global_step % max(cfg.progress_refresh_rate, 1) == 0:
                 log.scalars(
                     global_step,
                     {m: float(metrics[m]) for m in ("psnr", "mse", "depth_loss")},
@@ -408,6 +422,7 @@ def reconstruction(
                 push_depth=scene_cfg.push_depth, near_far=scene.near_far,
                 alpha_mask=eval_mask,
                 compact_k=cfg.eval_compact_k if eval_mask is not None else 0,
+                n_vis=cfg.n_vis,
             )
             if res["psnr"]:
                 log.scalars(global_step, {"eval_psnr": float(np.mean(res["psnr"]))})

@@ -311,14 +311,34 @@ def _find_midas_checkpoint(weights_path: str):
     return None
 
 
+def _find_sgrnet_checkpoint(weights_path: str):
+    """Locate structuredrl/model.pth.tar (depth_esti_boosting.py:190)."""
+    import os
+
+    if not weights_path:
+        return None
+    candidates = [weights_path]
+    if os.path.isdir(weights_path):
+        candidates += [
+            os.path.join(weights_path, "model.pth.tar"),
+            os.path.join(weights_path, "structuredrl", "model.pth.tar"),
+            os.path.join(os.path.dirname(weights_path), "structuredrl",
+                         "model.pth.tar"),
+        ]
+    for cand in candidates:
+        if os.path.isfile(cand) and cand.endswith(".pth.tar"):
+            return cand
+    return None
+
+
 def make_depth_estimator(weights_path: str, net: str = "leres"):
     """Boosted estimator backed by the Flax depth net + merge pix2pix.
 
     With real checkpoints present, uses the faithful architectures
-    (models/leres.RelDepthModel for res101.pth, models/midas.MidasNet for
-    midas/model.pt — both torch-verified conversions); otherwise the
-    generic weights-free RelDepthNet stand-in keeps the machinery
-    hermetically testable."""
+    (models/leres.RelDepthModel for res101.pth and SGRNet's
+    model.pth.tar, models/midas.MidasNet for midas/model.pt — all
+    torch-verified conversions); otherwise the generic weights-free
+    RelDepthNet stand-in keeps the machinery hermetically testable."""
     import jax
     import jax.numpy as jnp
 
@@ -326,6 +346,7 @@ def make_depth_estimator(weights_path: str, net: str = "leres"):
     from ..models.pix2pix import UnetGenerator, minmax_normalize
     from .weight_convert import (
         load_converted, load_leres_checkpoint, load_midas_checkpoint,
+        load_sgrnet_checkpoint,
     )
 
     converted = load_converted(weights_path)
@@ -333,12 +354,18 @@ def make_depth_estimator(weights_path: str, net: str = "leres"):
 
     leres_ckpt = _find_leres_checkpoint(weights_path) if net == "leres" else None
     midas_ckpt = _find_midas_checkpoint(weights_path) if net == "midas" else None
+    srl_ckpt = _find_sgrnet_checkpoint(weights_path) if net == "sgrnet" else None
     midas_real = False
     if leres_ckpt is not None:
         from ..models.leres import LeReSConfig, RelDepthModel
 
         model = RelDepthModel(LeReSConfig.resnext101(), dtype=jnp.bfloat16)
         params = load_leres_checkpoint(leres_ckpt)
+    elif srl_ckpt is not None:
+        from ..models.leres import LeReSConfig, RelDepthModel
+
+        model = RelDepthModel(LeReSConfig.resnet50(), dtype=jnp.bfloat16)
+        params = load_sgrnet_checkpoint(srl_ckpt)
     elif midas_ckpt is not None:
         from ..models.midas import MidasNet
 

@@ -305,13 +305,22 @@ def _ftb_map(t: str, f: str) -> Dict[str, str]:
     return m
 
 
-def leres_name_map(cfg) -> Dict[str, str]:
+def leres_name_map(
+    cfg,
+    encoder_prefix: str = "depth_model.encoder_modules",
+    decoder_prefix: str = "depth_model.decoder_modules",
+) -> Dict[str, str]:
     """torch→Flax map for the LeReS RelDepthModel (res101.pth):
     depth_model.encoder_modules.* (torchvision ResNeXt layout,
     lib/Resnext_torch.py:119-236) and depth_model.decoder_modules.*
-    (FTB/FFM/AO decoder, lib/network_auxi.py:15-62)."""
-    e = "depth_model.encoder_modules"
-    d = "depth_model.decoder_modules"
+    (FTB/FFM/AO decoder, lib/network_auxi.py:15-62).
+
+    SGRNet (structuredrl model.pth.tar) shares the exact architecture —
+    ResNet50-V1.5 encoder + the same FTB/FFM/AO decoder
+    (structuredrl/models/DepthNet.py:25-118, resnet.py, networks.py) —
+    under the prefixes ``encoder`` / ``decoder`` (see sgrnet_name_map)."""
+    e = encoder_prefix
+    d = decoder_prefix
     m = {f"{e}.conv1.weight": "encoder/conv1/kernel"}
     m.update(_bn_map(f"{e}.bn1", "encoder/bn1"))
     inplanes = cfg.planes[0]
@@ -370,6 +379,46 @@ def load_leres_checkpoint(path: str):
     if hits < 0.99 * len(name_map):
         raise ValueError(
             f"LeReS checkpoint layout mismatch: {hits}/{len(name_map)} "
+            f"mapped keys present in {path}")
+    return fill_missing_params(convert_torch_state_dict(state, name_map), ref)
+
+
+def sgrnet_name_map(cfg) -> Dict[str, str]:
+    """torch→Flax map for SGRNet's DepthNet (depthNet=1,
+    structuredrl/model.pth.tar — depth_esti_boosting.py:187-192): the
+    LeReS architecture at ResNet50 width under encoder./decoder.
+    prefixes; its syncbn BatchNorms carry the standard
+    weight/bias/running_mean/running_var keys."""
+    return leres_name_map(cfg, "encoder", "decoder")
+
+
+def load_sgrnet_checkpoint(path: str):
+    """Load structuredrl/model.pth.tar ({'state_dict': DataParallel
+    'module.'-prefixed DepthNet}, depth_esti_boosting.py:190-191) and
+    convert to Flax RelDepthModel(resnet50) params."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    sd = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
+    state = {}
+    for k, v in sd.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        state[k] = v.numpy()
+
+    from ..models.leres import LeReSConfig, RelDepthModel
+    import jax
+    import jax.numpy as jnp
+
+    cfg = LeReSConfig.resnet50()
+    model = RelDepthModel(cfg)
+    ref = jax.eval_shape(lambda: model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))))["params"]
+    name_map = sgrnet_name_map(cfg)
+    hits = sum(1 for k in name_map if k in state)
+    if hits < 0.99 * len(name_map):
+        raise ValueError(
+            f"SGRNet checkpoint layout mismatch: {hits}/{len(name_map)} "
             f"mapped keys present in {path}")
     return fill_missing_params(convert_torch_state_dict(state, name_map), ref)
 
