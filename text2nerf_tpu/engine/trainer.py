@@ -456,6 +456,7 @@ def reconstruction(
             ndc=cfg.ndc_ray, video=True,
             push_depth=scene_cfg.push_depth, near_far=scene.near_far,
             alpha_mask=eval_mask, compact_k=final_compact_k,
+            n_vis=cfg.n_vis,
         )
 
     if cfg.render_test or cfg.render_path:
@@ -472,6 +473,7 @@ def reconstruction(
                 ndc=cfg.ndc_ray, video=True,
                 push_depth=scene_cfg.push_depth, near_far=scene.near_far,
                 alpha_mask=eval_mask, compact_k=final_compact_k,
+                n_vis=cfg.n_vis,
             )
         if cfg.render_path:
             eval_renderer.evaluation_path(
@@ -506,6 +508,7 @@ def render_test(cfg: TrainConfig, scene_cfg: ss.SceneConfig):
             ndc=cfg.ndc_ray, video=True, push_depth=scene_cfg.push_depth,
             near_far=scene.near_far,
             alpha_mask=alpha_mask, compact_k=compact_k,
+            n_vis=cfg.n_vis,
         )
     if cfg.render_path:
         out["path"] = eval_renderer.evaluation_path(
