@@ -34,6 +34,32 @@ def test_plain_forward_shapes():
     assert np.abs(out).max() <= 1.0  # tanh output
 
 
+def test_synthetic_corruption_reference_semantics():
+    """Golden check of the corruption pipeline against a literal numpy
+    transcription of the reference data_loader's __getitem__
+    (merge_model_single_channel.py:119-126)."""
+    from text2nerf_tpu.services.merge import synthetic_corruption
+
+    base = np.random.default_rng(7).uniform(-1, 1, (32, 32))
+    out = synthetic_corruption(np.random.default_rng(3), base)
+
+    rng = np.random.default_rng(3)  # same draw order: shift, degree, scale
+    d2 = (base - base.min()) / (base.max() - base.min())
+    shift = rng.uniform(0.0, 1.0)
+    degree = int(rng.integers(30, 61))
+    scale1 = rng.uniform(0.9, 1.1) * np.power(d2, 1.0 / degree)
+    din = (d2 + shift) * scale1
+    din = (din - din.min()) / (din.max() - din.min()) * 2.0 - 1.0
+    np.testing.assert_allclose(out, din, atol=1e-12)
+
+    # reference invariants: output spans exactly [-1, 1] and is monotonic
+    # in the input (the corruption is order-preserving)
+    assert out.min() == -1.0 and out.max() == 1.0
+    flat_in, flat_out = base.ravel(), out.ravel()
+    order = np.argsort(flat_in)
+    assert np.all(np.diff(flat_out[order]) >= -1e-12)
+
+
 def test_pretrain_reduces_loss(tmp_path):
     svc = DepthMergeService(net_size=128, num_downs=7, seed=2)
     rng = np.random.default_rng(0)

@@ -85,6 +85,9 @@ def make_train_step(
     weights: LossWeights = LossWeights(),
     tv_factor: float = 1.0,
     depth_loss_type: str = "mse",
+    density_group: int = 1,
+    density_block: int = 4,
+    microbatch: int = 1,
 ):
     """Build the jitted train step.
 
@@ -102,10 +105,28 @@ def make_train_step(
       the fitted 's'/'t' scalars (surfaced in the reference progress bar,
       text2nerf_main.py:610-611)
     - 'silog': scale-invariant log loss (utils.py:324-331)
+
+    ``density_group=2`` groups ray-consecutive samples in the density
+    gathers — halving the backward scatter-add rows, the training step's
+    dominant cost (PERF.md).  Exact ONLY when
+    ``tensorf.grouping_block(aabb, reso, step_ratio)`` returns a nonzero
+    ``density_block`` (out-of-block spans silently read 0) — callers must
+    check before enabling; the trainer does.
+
+    ``microbatch=R`` accumulates gradients over R equal sub-batches inside
+    one lax.scan (HLO temp memory scales with B/R; scatter row count — the
+    time cost — is unchanged).  The losses are means over equal-size
+    sub-batches, so the accumulated gradient equals the full-batch one up
+    to fp reassociation; the batch-independent TV/L1/ortho terms are added
+    once outside the scan, exactly.  Sampling jitter is drawn per
+    sub-batch, so the random stream differs from microbatch=1 (same
+    distribution).  With depth_loss_type='ssi' the scale/shift fit happens
+    per sub-batch.
     """
     assert depth_loss_type in ("mse", "ssi", "silog"), depth_loss_type
 
-    def loss_fn(params, aabb, batch, rng, step, tv_decay):
+    def batch_loss(params, aabb, batch, rng):
+        """Per-ray loss terms (no batch-independent regularizers)."""
         out = render_ops.render_rays(
             cfg,
             params,
@@ -117,6 +138,8 @@ def make_train_step(
             is_train=True,
             white_bg=white_bg,
             ndc=ndc,
+            density_group=1 if ndc else density_group,
+            density_block=density_block,
         )
         depth_map = jnp.nan_to_num(out.depth)  # text2nerf_main.py:559-560
 
@@ -140,17 +163,22 @@ def make_train_step(
             + weights.depth * loss_depth
             + weights.transmittance * loss_trans
         )
-        decay = (
-            tv_factor ** step.astype(jnp.float32) if tv_decay is None else tv_decay
-        )
         metrics = {
             "mse": loss_rgb,
-            "psnr": L.mse2psnr(loss_rgb),
             "depth_loss": loss_depth,
             "transmit_loss": loss_trans,
         }
         if ssi_s is not None:
             metrics["ssi_s"], metrics["ssi_t"] = ssi_s, ssi_t
+        return total, metrics
+
+    def reg_loss(params, step, tv_decay):
+        """Batch-independent regularizers (TV decayed per step)."""
+        decay = (
+            tv_factor ** step.astype(jnp.float32) if tv_decay is None else tv_decay
+        )
+        total = jnp.zeros(())
+        metrics = {}
         if weights.tv_density > 0:
             tv_d = tf.tv_loss_density(cfg, params) * weights.tv_density * decay
             total = total + tv_d
@@ -165,12 +193,42 @@ def make_train_step(
             total = total + weights.ortho * tf.vector_comp_diffs(cfg, params)
         return total, metrics
 
+    def loss_fn(params, aabb, batch, rng, step, tv_decay):
+        total, metrics = batch_loss(params, aabb, batch, rng)
+        reg, reg_metrics = reg_loss(params, step, tv_decay)
+        metrics.update(reg_metrics)
+        return total + reg, metrics
+
     @functools.partial(jax.jit, static_argnames=("has_tv_decay",))
     def _step(state: TrainState, aabb, batch, rng, tv_decay, has_tv_decay):
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, aabb, batch, rng, state.step,
-            tv_decay if has_tv_decay else None,
-        )
+        tv_decay = tv_decay if has_tv_decay else None
+        if microbatch == 1:
+            (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, aabb, batch, rng, state.step, tv_decay
+            )
+        else:
+            r = microbatch
+            sub = jax.tree.map(
+                lambda x: x.reshape(r, x.shape[0] // r, *x.shape[1:]), batch
+            )
+            rngs = jax.random.split(rng, r)
+            grad_fn = jax.value_and_grad(batch_loss, has_aux=True)
+
+            def body(acc, xs):
+                b_i, k_i = xs
+                (_, m), g = grad_fn(state.params, aabb, b_i, k_i)
+                return jax.tree.map(jnp.add, acc, g), m
+
+            zero = jax.tree.map(jnp.zeros_like, state.params)
+            gsum, ms = jax.lax.scan(body, zero, (sub, rngs))
+            grads = jax.tree.map(lambda x: x / r, gsum)
+            (_, reg_metrics), g_reg = jax.value_and_grad(
+                reg_loss, has_aux=True
+            )(state.params, state.step, tv_decay)
+            grads = jax.tree.map(jnp.add, grads, g_reg)
+            metrics = {k: jnp.mean(v) for k, v in ms.items()}
+            metrics.update(reg_metrics)
+        metrics["psnr"] = L.mse2psnr(metrics["mse"])
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), metrics

@@ -211,6 +211,9 @@ def reconstruction(
         l1=cfg.l1_weight, ortho=cfg.ortho_weight,
     )
     def make_step(tx):
+        # density_group stays 1: grouped gathers measured SLOWER end-to-end
+        # (PERF.md round 2 — the select glue outweighs the scatter-row
+        # saving); the grouped path remains available as an opt-in.
         return ts.make_train_step(
             mcfg, tx, n_samples=n_samples, app_k=cfg.app_k,
             white_bg=white_bg, ndc=cfg.ndc_ray, weights=weights,

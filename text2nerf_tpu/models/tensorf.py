@@ -358,6 +358,114 @@ def compute_density_feature_packed(cfg: TensoRFConfig, packed, xn, dtype=None):
     return sigma.astype(jnp.float32)
 
 
+def grouping_safe(
+    aabb, grid_size, step_ratio: float, group: int = 2, block: int = 4
+) -> bool:
+    """Host-side guard for the group-packed density gathers: True when
+    ``group`` ray-consecutive samples are guaranteed to span at most
+    ``block - 2`` grid cells per axis (ops/fused_gather.py group packing).
+
+    The worst-case real-valued cell drift across the group along axis a is
+    (group-1) · step / units[a] (|dir component| ≤ 1 for normalized
+    directions); the span of the floors is at most ⌈drift⌉ ≤ block-2 when
+    drift ≤ block-2."""
+    aabb = jnp.asarray(aabb)
+    units = (aabb[1] - aabb[0]) / (jnp.asarray(grid_size, jnp.float32) - 1)
+    step = float(jnp.mean(units)) * step_ratio
+    drift = (group - 1) * step / float(jnp.min(units))
+    return drift <= block - 2 + 1e-6
+
+
+def grouping_block(
+    aabb, grid_size, step_ratio: float, group: int = 2, max_block: int = 4
+) -> int:
+    """Smallest safe packing block for grouped density gathers, or 0 when
+    none ≤ max_block is safe (→ callers fall back to per-sample gathers).
+    Smaller blocks cost proportionally less HBM per gathered row, so pick
+    the tightest one the drift bound allows (block 3 at the standard
+    equal-units / step_ratio ≤ 1 config)."""
+    for block in range(3, max_block + 1):
+        if grouping_safe(aabb, grid_size, step_ratio, group, block):
+            return block
+    return 0
+
+
+def pack_params_grouped(cfg: TensoRFConfig, params, block: int = 4):
+    """Block-packed density tables for the grouped train-path gathers
+    (ops/fused_gather.pack_plane_block / pack_line_block).  Appearance
+    stays per-sample (its top-K indices are not ray-consecutive)."""
+    from ..ops import fused_gather as fg
+
+    grouped = {}
+    if cfg.model_name == "cp":
+        grouped["density"] = [
+            (fg.pack_line_block(l, block), l.shape)
+            for l in params["density_lines"]
+        ]
+        return grouped
+    grouped["density"] = []
+    for i in range(3):
+        if cfg.model_name == "vm_split":
+            dp, dl = params["density_planes"][i], params["density_lines"][i]
+        else:  # fused vm
+            nd = cfg.density_n_comp[0]
+            dp = params["planes"][i][..., -nd:]
+            dl = params["lines"][i][..., -nd:]
+        grouped["density"].append(
+            (
+                fg.pack_plane_block(dp, block),
+                dp.shape,
+                fg.pack_line_block(dl, block),
+                dl.shape,
+            )
+        )
+    return grouped
+
+
+def compute_density_feature_grouped(
+    cfg: TensoRFConfig, grouped, xn, *, block: int = 4, dtype=None
+):
+    """Density features for ray-consecutive sample groups.
+
+    xn: (N, G, 3) normalized coords — G consecutive samples of one ray per
+    row.  One gathered block row per group serves all G samples (and one
+    scatter row per group in the backward — the training step's dominant
+    cost).  Bit-identical to compute_density_feature_packed when the group
+    span fits the block (``grouping_safe``).  Returns (N, G) —
+    every big intermediate stays channel-major 2D (TPU tile padding; see
+    ops/fused_gather._select_slices_t)."""
+    from ..ops import fused_gather as fg
+
+    n, g = xn.shape[0], xn.shape[1]
+    sigma_g = [None] * g
+
+    if cfg.model_name == "cp":
+        prods = [None] * g
+        for i in range(3):
+            tbl, (l, c) = grouped["density"][i]
+            lfs = fg.sample_packed_line_groups(
+                tbl, l, c, xn[..., VEC_MODE[i]], block=block, dtype=dtype
+            )
+            for gi in range(g):
+                prods[gi] = lfs[gi] if prods[gi] is None else prods[gi] * lfs[gi]
+        sigma_g = [jnp.sum(p, axis=0) for p in prods]
+    else:
+        for i in range(3):
+            m0, m1 = MAT_MODE[i]
+            ptbl, (h, w, c), ltbl, (l, _) = grouped["density"][i]
+            pfs = fg.sample_packed_plane_groups(
+                ptbl, h, w, c, xn[..., m0], xn[..., m1], block=block,
+                dtype=dtype,
+            )
+            lfs = fg.sample_packed_line_groups(
+                ltbl, l, c, xn[..., VEC_MODE[i]], block=block, dtype=dtype
+            )
+            for gi in range(g):
+                part = jnp.sum(pfs[gi] * lfs[gi], axis=0)
+                sigma_g[gi] = part if sigma_g[gi] is None else sigma_g[gi] + part
+    return jnp.stack(sigma_g, axis=-1).astype(jnp.float32)
+
+
 def compute_app_feature_packed(cfg: TensoRFConfig, packed, xn, dtype=None):
     """Fast-path appearance features via corner-packed gathers."""
     from ..ops import fused_gather as fg

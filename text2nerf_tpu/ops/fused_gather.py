@@ -80,3 +80,124 @@ def sample_packed_line(packed, l: int, c: int, y, dtype=None):
         ty = ty.astype(dtype)
     rows = jnp.take(packed, y0, axis=0)  # (N, 2C)
     return rows[:, :c] * (1.0 - ty[:, None]) + rows[:, c:] * ty[:, None]
+
+
+# ---------------------------------------------------------------------------
+# Group-packed gathers: G ray-consecutive samples per gathered row.
+#
+# Samples along a ray drift at most ``step / unit`` grid cells per step
+# (≈ step_ratio when n_to_reso equalizes the units), so a group of G
+# consecutive samples spans at most (G-1)·drift + 1 cells per axis.  Packing
+# each table row with a ``block``-wide neighborhood lets ONE gathered row
+# serve all G samples' bilinear corners — and, critically, the gather's
+# transpose becomes ONE scatter-add row per group instead of per sample.
+# TPU scatter-add costs ~23 ns/row regardless of width (PERF.md), so G=2
+# halves the dominant backward cost of the training step.  The per-sample
+# values are recovered by contracting the block against combined
+# interpolation weights (zero except at the bilinear corners) — within
+# ~1 ulp of the per-sample path (contraction-order rounding only).
+# ---------------------------------------------------------------------------
+
+
+def pack_plane_block(plane, block: int = 4):
+    """(H, W, C) → (H*W, block²·C): row (y, x) holds the edge-clamped
+    neighborhood ``plane[y : y+block, x : x+block]`` flattened y-major."""
+    h, w, c = plane.shape
+    p = jnp.pad(plane, ((0, block - 1), (0, block - 1), (0, 0)), mode="edge")
+    parts = [
+        p[dy : dy + h, dx : dx + w]
+        for dy in range(block)
+        for dx in range(block)
+    ]
+    return jnp.concatenate(parts, axis=-1).reshape(h * w, block * block * c)
+
+
+def pack_line_block(line, block: int = 4):
+    """(L, C) → (L, block·C): row y holds ``line[y : y+block]`` clamped."""
+    l, _ = line.shape
+    p = jnp.pad(line, ((0, block - 1), (0, 0)), mode="edge")
+    return jnp.concatenate([p[d : d + l] for d in range(block)], axis=-1)
+
+
+def _select_slices_t(rows_t, pos, n_pos: int, c: int, offsets):
+    """Extract len(offsets) C-wide slice groups per sample at dynamic
+    positions, in channel-major (transposed) layout.
+
+    rows_t: (n_pos·C, N); pos: (N,) int base position; offsets: static
+    ints.  Returns a list of (C, N) arrays, entry k =
+    rows_t[(pos+offsets[k])·C : ·+C, n] — an unrolled masked accumulation
+    over the n_pos static slices.  Channel-major matters: N is the minor
+    (lane) dimension and is 128-aligned at real batch sizes, so the big
+    temporaries pad to ~1x — a (N, C=16) layout pads 8x in TPU (8, 128)
+    tiles and OOMs the production train step.  The picks are exact
+    (masked adds of exact zeros)."""
+    acc = [jnp.zeros((c, rows_t.shape[1]), rows_t.dtype) for _ in offsets]
+    for p in range(n_pos):
+        sl = rows_t[p * c : (p + 1) * c]
+        for k, off in enumerate(offsets):
+            m = (pos + off == p)[None, :]
+            acc[k] = acc[k] + jnp.where(m, sl, jnp.zeros((), rows_t.dtype))
+    return acc
+
+
+def sample_packed_plane_groups(
+    packed, h: int, w: int, c: int, x, y, *, block: int = 4, dtype=None
+):
+    """Bilinear sample G ray-consecutive points per gathered block row.
+
+    Args:
+      packed: (H*W, block²·C) from :func:`pack_plane_block`.
+      x, y: (N, G) normalized coords; each group's integer cells must span
+        at most ``block - 2`` per axis (+1 for the bilinear upper corner;
+        callers check via ``tensorf.grouping_block`` — out-of-block spans
+        would silently read 0, so the guard must be conservative).
+
+    Returns: list of G (C, N) channel-major arrays (see _select_slices_t
+    for why), bit-identical to the per-sample sample_packed_plane.
+    """
+    n, g = x.shape
+    x0, tx = _coords(x, w)
+    y0, ty = _coords(y, h)
+    bx = jnp.min(x0, axis=1)
+    by = jnp.min(y0, axis=1)
+    rows = jnp.take(packed, by * w + bx, axis=0)  # (N, block²·C)
+    if dtype is not None:
+        rows = rows.astype(dtype)
+        tx, ty = tx.astype(dtype), ty.astype(dtype)
+    rows_t = rows.T  # (block²·C, N): lane-aligned minor dim
+    dy = y0 - by[:, None]
+    dx = x0 - bx[:, None]
+    out = []
+    for gi in range(g):
+        p00 = dy[:, gi] * block + dx[:, gi]
+        f00, f01, f10, f11 = _select_slices_t(
+            rows_t, p00, block * block, c, (0, 1, block, block + 1)
+        )
+        t_x = tx[None, :, gi]
+        t_y = ty[None, :, gi]
+        top = f00 * (1.0 - t_x) + f01 * t_x
+        bot = f10 * (1.0 - t_x) + f11 * t_x
+        out.append(top * (1.0 - t_y) + bot * t_y)
+    return out
+
+
+def sample_packed_line_groups(
+    packed, l: int, c: int, y, *, block: int = 4, dtype=None
+):
+    """Linear-sample G consecutive points per gathered row. y: (N, G);
+    returns a list of G (C, N) arrays (see sample_packed_plane_groups)."""
+    n, g = y.shape
+    y0, ty = _coords(y, l)
+    base = jnp.min(y0, axis=1)
+    rows = jnp.take(packed, base, axis=0)  # (N, block·C)
+    if dtype is not None:
+        rows = rows.astype(dtype)
+        ty = ty.astype(dtype)
+    rows_t = rows.T
+    d = y0 - base[:, None]
+    out = []
+    for gi in range(g):
+        f0, f1 = _select_slices_t(rows_t, d[:, gi], block, c, (0, 1))
+        t_y = ty[None, :, gi]
+        out.append(f0 * (1.0 - t_y) + f1 * t_y)
+    return out

@@ -95,11 +95,14 @@ def render_rays(
     ndc: bool = False,
     alpha_mask=None,
     eval_z_min: float = 2.0,
+    density_group: int = 1,
+    density_block: int = 4,
 ) -> RenderOutput:
     return _render_rays(
         cfg, params, aabb, rays, rng, n_samples=n_samples, app_k=app_k,
         is_train=is_train, white_bg=white_bg, ndc=ndc,
         alpha_mask=_strip_pool(alpha_mask), eval_z_min=eval_z_min,
+        density_group=density_group, density_block=density_block,
     )
 
 
@@ -107,6 +110,7 @@ def render_rays(
     jax.jit,
     static_argnames=(
         "cfg", "n_samples", "app_k", "is_train", "white_bg", "ndc", "eval_z_min",
+        "density_group", "density_block",
     ),
 )
 def _render_rays(
@@ -123,6 +127,8 @@ def _render_rays(
     ndc: bool = False,
     alpha_mask=None,
     eval_z_min: float = 2.0,
+    density_group: int = 1,
+    density_block: int = 4,
 ) -> RenderOutput:
     """Render a chunk of rays.
 
@@ -188,9 +194,25 @@ def _render_rays(
 
     xn = jnp.clip(tf.normalize_coord(aabb, pts), -1.0, 1.0)
     packed = tf.pack_params(cfg, params)
-    feat = tf.compute_density_feature_packed(
-        cfg, packed, xn.reshape(-1, 3)
-    ).reshape(b, n_samples)
+    if density_group > 1:
+        # group-packed gathers: G ray-consecutive samples per gathered
+        # (and, in backward, per scattered) row — callers must check
+        # tf.grouping_safe first (see ops/fused_gather.py)
+        g = density_group
+        pad = (-n_samples) % g
+        xn_g = xn
+        if pad:
+            xn_g = jnp.concatenate(
+                [xn, jnp.repeat(xn[:, -1:], pad, axis=1)], axis=1
+            )
+        grouped = tf.pack_params_grouped(cfg, params, block=density_block)
+        feat = tf.compute_density_feature_grouped(
+            cfg, grouped, xn_g.reshape(-1, g, 3), block=density_block
+        ).reshape(b, n_samples + pad)[:, :n_samples]
+    else:
+        feat = tf.compute_density_feature_packed(
+            cfg, packed, xn.reshape(-1, 3)
+        ).reshape(b, n_samples)
     sigma = jnp.where(valid, tf.feature2density(cfg, feat), 0.0)
 
     _, weights, _ = raw2alpha(sigma, dists * cfg.distance_scale)

@@ -146,16 +146,26 @@ class DepthMergeService:
 # -- offline pre-training (merge_model_single_channel.py:60-191) -------------
 
 
-def synthetic_corruption(rng: np.random.Generator, depth01: np.ndarray):
-    """Scale/shift/gamma corruption of clean depth
-    (data_loader, merge_model_single_channel.py:109-137 in spirit):
-    simulates the monocular estimator's unknown affine + gamma distortion.
+def synthetic_corruption(rng: np.random.Generator, depth: np.ndarray):
+    """Exact corruption pipeline of the reference's training data_loader
+    (merge_model_single_channel.py:119-126): given depth in [-1, 1],
+
+        d2       = minmax(depth)                      # [0, 1]
+        shift    ~ U(0, 1);  degree ~ randint(30, 60) # inclusive
+        scale1   = U(0.9, 1.1) * d2 ** (1 / degree)   # pixelwise array
+        depth_in = minmax((d2 + shift) * scale1) * 2 - 1
+
+    simulating the monocular estimator's unknown affine distortion plus a
+    sharp near-zero root nonlinearity.  Returns depth_in in [-1, 1].
     """
-    scale = rng.uniform(0.6, 1.4)
-    shift = rng.uniform(-0.2, 0.2)
-    gamma = rng.uniform(0.7, 1.4)
-    out = np.clip(depth01, 0, 1) ** gamma * scale + shift
-    return np.clip(out, 0.0, 1.5)
+    lo, hi = depth.min(), depth.max()
+    d2 = (depth - lo) / max(hi - lo, 1e-12)
+    shift = rng.uniform(0.0, 1.0)
+    degree = int(rng.integers(30, 61))  # random.randint(30, 60) inclusive
+    scale1 = rng.uniform(0.9, 1.1) * np.power(d2, 1.0 / degree)
+    depth_in = (d2 + shift) * scale1
+    lo, hi = depth_in.min(), depth_in.max()
+    return ((depth_in - lo) / max(hi - lo, 1e-12)) * 2.0 - 1.0
 
 
 def pretrain_merge_model(
@@ -163,25 +173,29 @@ def pretrain_merge_model(
     clean_depths,
     steps: int = 1000,
     lr: float = 1e-4,
-    mask_prob: float = 0.5,
+    outsize: int = 512,
     seed: int = 0,
 ):
-    """L1-supervised pre-training of the generator to undo synthetic
-    corruptions (the GAN discriminator path of the reference trainer is
-    optional; L1 dominates at lambda_L1=1000, pix2pix4depth_model.py:156).
+    """Offline trainer for the merge generator
+    (merge_model_single_channel.py:160-182): corrupt clean depth with
+    :func:`synthetic_corruption`, resize to the net size (nearest), run the
+    generator, and minimize MSE between the ``outsize`` output and the clean
+    depth with Adam(lr=1e-4, betas=(0.9, 0.999)) — the reference trains the
+    generator alone with plain MSE (no GAN term, :159-160,177-180).
     Updates service.base_params in place; returns the loss history."""
     model = service.model
-    tx = optax.adam(lr, b1=0.5, b2=0.999)
+    tx = optax.adam(lr, b1=0.9, b2=0.999)
     params = service.base_params
     opt_state = tx.init(params)
     rng = np.random.default_rng(seed)
     size = service.net_size
 
-    @jax.jit
+    @functools.partial(jax.jit, static_argnames=())
     def step(params, opt_state, inp, target):
         def loss_fn(p):
-            out = model.apply({"params": p}, inp)
-            return jnp.mean(jnp.abs(out - target))
+            out = model.apply({"params": p}, inp)[:, :, :, 0]
+            out = jax.vmap(lambda o: _nearest_resize(o, target.shape[-1]))(out)
+            return jnp.mean((out - target) ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
@@ -189,15 +203,15 @@ def pretrain_merge_model(
 
     losses = []
     for i in range(steps):
-        d = clean_depths[rng.integers(len(clean_depths))]
-        d01 = (d - d.min()) / max(d.max() - d.min(), 1e-12)
-        corr = synthetic_corruption(rng, d01)
-        inp = jnp.asarray(
-            np.asarray(minmax_normalize(jnp.asarray(corr)), np.float32)
-        )[None, :, :, None]
-        tgt = jnp.asarray(d01 * 2 - 1, jnp.float32)[None, :, :, None]
-        inp = jax.image.resize(inp, (1, size, size, 1), "nearest")
-        tgt = jax.image.resize(tgt, (1, size, size, 1), "nearest")
+        d = np.asarray(clean_depths[rng.integers(len(clean_depths))], np.float64)
+        lo, hi = d.min(), d.max()
+        depth = (d - lo) / max(hi - lo, 1e-12) * 2.0 - 1.0  # [-1, 1]
+        depth_in = synthetic_corruption(rng, depth)
+        inp = _nearest_resize(jnp.asarray(depth_in, jnp.float32), size)
+        inp = minmax_normalize(inp)[None, :, :, None]
+        tgt = _nearest_resize(
+            jnp.asarray(depth, jnp.float32), min(outsize, size)
+        )[None]
         params, opt_state, loss = step(params, opt_state, inp, tgt)
         losses.append(float(loss))
     service.base_params = params
