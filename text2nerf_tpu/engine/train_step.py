@@ -45,6 +45,16 @@ class LossWeights(NamedTuple):
     ortho: float = 0.0
 
 
+def effective_microbatch(batch_size: int, microbatch: int) -> int:
+    """Largest divisor of ``batch_size`` that is ≤ ``microbatch`` (the
+    scan sub-batch split must be exact).  v5e optimum at the production
+    batch is 32 (PERF.md)."""
+    mb = max(1, min(int(microbatch), int(batch_size)))
+    while batch_size % mb:
+        mb -= 1
+    return mb
+
+
 def lr_factor(decay_target_ratio: float, decay_iters: int) -> float:
     """factor such that lr decays to lr*ratio over decay_iters steps
     (text2nerf_main.py:483-488)."""
@@ -202,12 +212,15 @@ def make_train_step(
     @functools.partial(jax.jit, static_argnames=("has_tv_decay",))
     def _step(state: TrainState, aabb, batch, rng, tv_decay, has_tv_decay):
         tv_decay = tv_decay if has_tv_decay else None
-        if microbatch == 1:
+        # shapes are static per-compile: clamp to a divisor of the actual
+        # batch (ray pools smaller than batch_size yield short batches)
+        b = jax.tree.leaves(batch)[0].shape[0]
+        r = effective_microbatch(b, microbatch)
+        if r == 1:
             (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params, aabb, batch, rng, state.step, tv_decay
             )
         else:
-            r = microbatch
             sub = jax.tree.map(
                 lambda x: x.reshape(r, x.shape[0] // r, *x.shape[1:]), batch
             )

@@ -138,6 +138,7 @@ def fit_scenes_mesh(
     )
     step_fn = ts.make_train_step(
         cfg, tx, n_samples=n_samples, app_k=app_k, white_bg=white_bg,
+        microbatch=ts.effective_microbatch(batch_size, 32),
     )
 
     def one(state_params, opt_state, step, aabb, batch, rng):
