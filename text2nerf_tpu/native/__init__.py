@@ -26,11 +26,29 @@ def _build():
     )
 
 
+_LOAD_ERROR: Optional[str] = None
+_WARNED = False
+
+
 def load() -> Optional[ctypes.CDLL]:
-    """Load (building if needed) the native library; None if unavailable."""
-    global _LIB
+    """Load (building if needed) the native library; None if unavailable.
+
+    Unavailability is NOT silent: the first fallback logs a loud warning
+    with the build error, and ``TEXT2NERF_REQUIRE_NATIVE=1`` turns it
+    into a hard failure (the XLA hole-fill approximates the sequential
+    raster-order semantics — fine for previews, not for parity runs).
+    """
+    global _LIB, _LOAD_ERROR
     if _LIB is not None:
         return _LIB
+    if _LOAD_ERROR is not None:
+        # previous attempt failed; don't rebuild every call
+        if os.environ.get("TEXT2NERF_REQUIRE_NATIVE") == "1":
+            raise RuntimeError(
+                f"native host_ops unavailable "
+                f"(TEXT2NERF_REQUIRE_NATIVE=1): {_LOAD_ERROR}"
+            )
+        return None
     try:
         if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
             _build()
@@ -50,13 +68,35 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ]
         _LIB = lib
-    except Exception:
-        _LIB = None
+    except subprocess.CalledProcessError as e:
+        _LOAD_ERROR = (e.stderr or b"").decode(errors="replace")[:500]
+    except Exception as e:  # dlopen/symbol errors
+        _LOAD_ERROR = repr(e)[:500]
+    if _LIB is None and os.environ.get("TEXT2NERF_REQUIRE_NATIVE") == "1":
+        raise RuntimeError(
+            f"native host_ops unavailable (TEXT2NERF_REQUIRE_NATIVE=1): "
+            f"{_LOAD_ERROR}"
+        )
     return _LIB
 
 
 def available() -> bool:
-    return load() is not None
+    """True when the native library loads; warns loudly (once) when not."""
+    global _WARNED
+    lib = load()
+    if lib is None and not _WARNED:
+        _WARNED = True
+        import warnings
+
+        warnings.warn(
+            "text2nerf_tpu.native failed to build/load — hole fills fall "
+            "back to the XLA approximation (superset fill, not the exact "
+            "raster-order semantics). Set TEXT2NERF_REQUIRE_NATIVE=1 to "
+            f"fail instead. Build error: {_LOAD_ERROR}",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return lib is not None
 
 
 def hole_fill2(image, mask, depth=None, threshold: float = 0.65):
