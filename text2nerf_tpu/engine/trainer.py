@@ -76,6 +76,11 @@ class TrainConfig:
     # through render_rays_compact (tensorBase.py:451-456 culling semantics;
     # 0 disables)
     eval_compact_k: int = 64
+    # eval-mask dilation: pool=5 licenses stride-2 occupancy testing
+    # (the default); pool=7 licenses stride-3 (+5.5% rays/s on the bench
+    # scene, PERF.md) at the cost of a dilated mask — more live samples
+    # on tightly-masked scenes, which can push rays past eval_compact_k
+    eval_mask_pool: int = 5
     # TPU-native extension: gradient micro-batching inside the jitted
     # train step (lax.scan over sub-batches).  Measured FASTER on v5e
     # (768 -> 554 ms/step at the production config, PERF.md) and caps HLO
@@ -248,10 +253,10 @@ def reconstruction(
             return None
         reso_now = tf.grid_resolution(mcfg, state.params)
         mask_reso = tuple(min(r, 200) for r in reso_now)
-        # pool=5 dilation licenses the stride-2 occupancy test in
-        # render_rays_compact (PERF.md round 2)
+        # pool dilation licenses the strided occupancy test in
+        # render_rays_compact (PERF.md round 2): stride = (pool-1)//2
         mask, _ = tf.update_alpha_mask(mcfg, state.params, aabb, mask_reso,
-                                       pool=5)
+                                       pool=cfg.eval_mask_pool)
         return mask
     pool_new = None
     sampler_new = None
