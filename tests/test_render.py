@@ -152,3 +152,39 @@ def test_topk_compaction_matches_dense_reference(rng):
     )
     # K=16 covers all significant weights here → same image
     np.testing.assert_allclose(np.asarray(a.rgb), np.asarray(b.rgb), atol=1e-4)
+
+
+def test_filter_rays_alpha_keeps_hitting_rays():
+    """Alpha-branch ray filtering (tensorBase.py:372-404): rays through
+    occupied voxels are kept, rays through empty space are dropped, and
+    the filter is conservative w.r.t. mask-culled rendering (any ray
+    with nonzero masked alpha along it must survive)."""
+    # occupancy only in a +z slab: mask volume hand-built
+    reso = (16, 16, 16)
+    vol = np.zeros(reso, np.float32)
+    vol[10:13, :, :] = 1.0  # layout (D, H, W) == (z, y, x): a +z slab
+    mask = {"volume": jnp.asarray(vol), "aabb": AABB, "pool": 3}
+
+    # rays straight up +z from inside hit the slab; rays down -z miss it
+    o = np.zeros((8, 3), np.float32)
+    up = np.tile(np.array([[0, 0, 1.0]], np.float32), (4, 1))
+    down = np.tile(np.array([[0, 0, -1.0]], np.float32), (4, 1))
+    rays = jnp.asarray(
+        np.concatenate([np.concatenate([o[:4], up], -1),
+                        np.concatenate([o[4:], down], -1)], 0)
+    )
+    keep = np.asarray(render_ops.filter_rays_alpha(AABB, rays, mask))
+    assert keep[:4].all() and not keep[4:].any(), keep
+
+    # conservativeness vs the masked renderer on random rays
+    params = tf.init_params(jax.random.PRNGKey(1), CFG, GRID)
+    params = dict(params)
+    params["density_planes"] = tuple(p + 1.0 for p in params["density_planes"])
+    r = _rays(64, seed=3)
+    out = render_ops.render_rays(
+        CFG, params, AABB, r, n_samples=48, app_k=16, white_bg=True,
+        alpha_mask=mask, eval_z_min=-100.0,
+    )
+    acc = np.asarray(out.acc)
+    keep = np.asarray(render_ops.filter_rays_alpha(AABB, r, mask))
+    assert (acc[~keep] < 1e-6).all(), acc[~keep].max()

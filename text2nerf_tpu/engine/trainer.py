@@ -397,6 +397,28 @@ def reconstruction(
                     # e_opt.py:72-73)
                     weights = weights._replace(l1=cfg.l1_weight_rest)
                     step_fn = make_step(tx)
+                # refilter the ray pools through the fresh mask — the
+                # alpha branch of filtering_rays (tensorBase.py:372-404):
+                # rays that never touch occupied space stop consuming
+                # training iterations
+                keep_pre = np.asarray(render_ops.filter_rays_alpha(
+                    aabb, jnp.asarray(pool_pre[0]), alpha_mask
+                ))
+                if keep_pre.any() and not keep_pre.all():
+                    pool_pre = tuple(p[keep_pre] for p in pool_pre)
+                    sampler_pre = ts.PermutationSampler(
+                        len(pool_pre[0]), cfg.batch_size, cfg.seed + global_step
+                    )
+                if pool_new is not None:
+                    keep_new = np.asarray(render_ops.filter_rays_alpha(
+                        aabb, jnp.asarray(pool_new[0]), alpha_mask
+                    ))
+                    if keep_new.any() and not keep_new.all():
+                        pool_new = tuple(p[keep_new] for p in pool_new)
+                        sampler_new = ts.PermutationSampler(
+                            len(pool_new[0]), cfg.batch_size,
+                            cfg.seed + global_step + 1,
+                        )
             use_replay = (
                 view_idx == 0 or it % 5 == 0 or epoch >= n_total
                 or sampler_new is None

@@ -462,3 +462,46 @@ def filter_rays_bbox(aabb, rays):
 
     t_min, t_max = aabb_slab_interval(rays[..., :3], rays[..., 3:6], jnp.asarray(aabb))
     return t_max > t_min
+
+
+@functools.partial(jax.jit, static_argnames=("n_samples",))
+def _filter_rays_alpha_chunk(aabb, rays, alpha_mask, *, n_samples):
+    aabb = jnp.asarray(aabb)
+    rays_o, rays_d = rays[:, :3], rays[:, 3:6]
+    t_min, t_max = _slab_interval(rays_o, rays_d, aabb)
+    # rays starting inside the box get a negative entry t — only the
+    # forward part of the ray matters (reference clamps to near/far,
+    # tensorBase.py:381-386)
+    t_min = jnp.maximum(t_min, 0.0)
+    ts = jnp.linspace(0.0, 1.0, n_samples)[None, :]
+    z = t_min[:, None] * (1.0 - ts) + t_max[:, None] * ts
+    pts = rays_o[:, None] + rays_d[:, None] * z[..., None]
+    inside = jnp.all((pts >= aabb[0]) & (pts <= aabb[1]), axis=-1)
+    occ = _nearest_alpha_lookup(alpha_mask, pts.reshape(-1, 3)).reshape(
+        rays.shape[0], n_samples
+    )
+    return jnp.any(inside & (occ > 0) & (t_max[:, None] > t_min[:, None]), axis=-1)
+
+
+def _slab_interval(rays_o, rays_d, aabb):
+    from .rays import aabb_slab_interval
+
+    return aabb_slab_interval(rays_o, rays_d, aabb)
+
+
+def filter_rays_alpha(aabb, rays, alpha_mask, *, n_samples=128, chunk=262144):
+    """Boolean mask of rays that touch occupied space — the alpha-mask
+    branch of filtering_rays (tensorBase.py:372-404): sample each ray
+    uniformly between its AABB entry/exit and keep it when ANY sample
+    lands in an occupied (dilated) mask voxel.  Conservative with the
+    3³+-max-pooled masks update_alpha_mask builds.  Host-side pool
+    filtering — TensoRF upstream refilters the ray pools at the first two
+    update_AlphaMask_list milestones."""
+    parts = []
+    m = _strip_pool(alpha_mask)
+    for s in range(0, rays.shape[0], chunk):
+        part = jnp.asarray(rays[s : s + chunk])
+        parts.append(
+            _filter_rays_alpha_chunk(aabb, part, m, n_samples=n_samples)
+        )
+    return jnp.concatenate(parts, axis=0)
