@@ -35,13 +35,14 @@ def write_video(path: str, frames, fps: int = 30, quality: int = 9):
 
 def render_view(
     cfg, params, aabb, rays, hw, *, n_samples, chunk=16384, app_k=64,
-    white_bg=True, ndc=False, alpha_mask=None,
+    white_bg=True, ndc=False, alpha_mask=None, compact_k=0,
 ):
     """Render one view; returns (rgb (H,W,3), depth (H,W)) numpy arrays."""
     h, w = hw
     out = render_ops.render_chunked(
         cfg, params, aabb, jnp.asarray(rays), n_samples=n_samples, chunk=chunk,
         app_k=app_k, white_bg=white_bg, ndc=ndc, alpha_mask=alpha_mask,
+        compact_k=compact_k,
     )
     rgb = np.asarray(jnp.clip(out.rgb, 0.0, 1.0)).reshape(h, w, 3)
     depth = np.asarray(out.depth).reshape(h, w)
@@ -144,10 +145,13 @@ def evaluation(
 def evaluation_path(
     cfg, params, aabb, c2ws, hw, intrinsic, *, n_samples, save_path=None,
     chunk: int = 8192, app_k: int = 64, white_bg: bool = False, ndc: bool = False,
-    near_far=(0.5, 8.0),
+    near_far=(0.5, 8.0), alpha_mask=None, compact_k: int = 0,
 ):
     """Render along a camera path, regenerating rays per pose
-    (evaluation_path, renderer.py:142-197)."""
+    (evaluation_path, renderer.py:142-197).  A checkpoint-loaded model in
+    the reference applies its AlphaGridMask here too (tensorBase.py:
+    451-456) — pass ``alpha_mask`` (+ ``compact_k`` for the fast path)
+    for the same culling semantics."""
     h, w = hw
     fx, fy, cx, cy = intrinsic
     dirs = ray_ops.ray_directions(h, w, (fx, fy), (cx, cy))
@@ -158,6 +162,7 @@ def evaluation_path(
         rgb, depth = render_view(
             cfg, params, aabb, rays, hw, n_samples=n_samples, chunk=chunk,
             app_k=app_k, white_bg=white_bg, ndc=ndc,
+            alpha_mask=alpha_mask, compact_k=compact_k,
         )
         depth_vis, _ = M.visualize_depth(depth, near_far)
         rgb_maps.append((rgb * 255).astype(np.uint8))

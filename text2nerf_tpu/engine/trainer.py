@@ -520,6 +520,7 @@ def reconstruction(
                 scene.intrinsic, n_samples=n_samples,
                 save_path=os.path.join(logfolder, "imgs_path_all"),
                 white_bg=white_bg, ndc=cfg.ndc_ray, near_far=scene.near_far,
+                alpha_mask=eval_mask, compact_k=final_compact_k,
             )
 
     return mcfg, state.params, aabb, scene, logfolder
@@ -555,5 +556,6 @@ def render_test(cfg: TrainConfig, scene_cfg: ss.SceneConfig):
             n_samples=n_samples,
             save_path=os.path.join(logfolder, "imgs_path_all"),
             white_bg=scene.white_bg, ndc=cfg.ndc_ray, near_far=scene.near_far,
+            alpha_mask=alpha_mask, compact_k=compact_k,
         )
     return out
