@@ -116,3 +116,47 @@ def test_fit_scenes_mesh_one_scene_per_device():
     leaf = jax.tree_util.tree_leaves(final)[0]
     assert isinstance(leaf.sharding, NamedSharding)
     assert len(leaf.sharding.device_set) == 8
+
+
+def test_progressive_runner_farms_full_scenes(tmp_path):
+    """run_farm + progressive_runner: TWO full progressive text->3D scenes
+    (seed gen -> expansion -> 3-stage fit) at micro sizes, idempotent on
+    the second pass."""
+    from text2nerf_tpu.data import scene_state as ss
+    from text2nerf_tpu.engine import expansion, trainer
+    from text2nerf_tpu.services import fallbacks
+    from text2nerf_tpu.services.merge import DepthMergeService
+    from text2nerf_tpu.services.registry import Services
+
+    hw = (40, 40)
+    scene_cfg = ss.SceneConfig(
+        datadir="", prompt="", pose_traj="circle0_60", num_training=2, hw=hw,
+    )
+    train_cfg = trainer.TrainConfig(
+        expname="farm", basedir="", n_stage1=1, n_stage2=1, n_stage3=1,
+        batch_size=512, n_voxel_init=32 ** 3, app_k=16,
+        eval_every_epochs=10 ** 6, seed=3,
+    )
+    services = Services(
+        text2img=lambda p, n="": fallbacks.procedural_text2img(p, n, hw=hw),
+        inpaint=fallbacks.diffusion_fill_inpaint,
+        estimate_depth=fallbacks.procedural_depth,
+        rank=fallbacks.histogram_rank,
+        merge=DepthMergeService(net_size=64, num_downs=6),
+    )
+    exp_cfg = expansion.ExpansionConfig(
+        prompt="", n_candidates=2, candidates_per_round=2, merge_iters=10,
+        chunk=512, app_k=16,
+    )
+    run = farm.progressive_runner(train_cfg, scene_cfg, services, exp_cfg)
+    prompts = ["a tiny red room", "a tiny blue room"]
+    r = farm.run_farm(prompts, str(tmp_path / "d"), str(tmp_path / "l"), run)
+    assert len(r) == 2
+    for res in r:
+        assert res["views"] == 2
+        assert len(res["per_view_psnr"]) == 2
+        assert all(np.isfinite(p) for p in res["per_view_psnr"])
+        assert os.path.exists(os.path.join(res["logfolder"], "metrics.jsonl"))
+    # idempotent: second pass served from markers (wall unchanged)
+    r2 = farm.run_farm(prompts, str(tmp_path / "d"), str(tmp_path / "l"), run)
+    assert r2[0]["wall_s"] == r[0]["wall_s"]

@@ -87,6 +87,51 @@ def run_farm(
     return results
 
 
+def progressive_runner(train_cfg, scene_cfg, services, exp_cfg,
+                       eval_views: bool = True):
+    """Build a ``run(job)`` executing the FULL progressive text→3D
+    pipeline (engine.trainer.reconstruction) for each farm job, with the
+    job's prompt/datadir/logdir substituted into the base configs.
+
+    This extends the farm beyond stage-1 fits: each job runs seed
+    generation → depth → progressive warp/inpaint/align expansion → the
+    3-stage schedule, exactly like the single-scene entry point — the
+    multi-scene answer to BASELINE config #5 at full pipeline depth.
+    Returns per-view reconstruction PSNRs in the completion marker."""
+    import dataclasses as dc
+
+    def run(job: FarmJob) -> dict:
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ..engine import renderer as eval_renderer
+        from ..engine import trainer
+        from ..models import tensorf as tf
+
+        s_cfg = dc.replace(scene_cfg, prompt=job.prompt, datadir=job.datadir)
+        t_cfg = dc.replace(train_cfg, basedir=job.logdir)
+        e_cfg = dc.replace(exp_cfg, prompt=job.prompt)
+        mcfg, params, aabb, scene, logfolder = trainer.reconstruction(
+            t_cfg, s_cfg, services, e_cfg
+        )
+        out = {"logfolder": logfolder,
+               "views": int(scene.poses_gen.shape[0])}
+        if eval_views:
+            res = eval_renderer.evaluation(
+                mcfg, params, jnp.asarray(aabb), scene.rays_gen_split,
+                scene.hw,
+                n_samples=tf.default_n_samples(
+                    tf.grid_resolution(mcfg, params), mcfg.step_ratio
+                ),
+                gt_rgbs=scene.rgbs_gen_split, chunk=t_cfg.batch_size,
+                app_k=t_cfg.app_k,
+            )
+            out["per_view_psnr"] = [round(float(p), 2) for p in res["psnr"]]
+        return out
+
+    return run
+
+
 def fit_scenes_mesh(
     cfg,
     stacked_params,
