@@ -85,3 +85,22 @@ def test_full_reference_flag_surface():
     assert train.progress_refresh_rate == 25
     assert train.lr_upsample_reset is False
     assert train.l1_weight_rest == 1e-5
+
+
+def test_persistent_compilation_cache_helper(tmp_path, monkeypatch):
+    """CLI entry points amortize jit compiles across runs via a
+    persistent on-disk cache (utils/compilation_cache.py)."""
+    import jax
+
+    from text2nerf_tpu.utils.compilation_cache import (
+        enable_persistent_compilation_cache,
+    )
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        p = enable_persistent_compilation_cache(str(tmp_path / "c"))
+        assert jax.config.jax_compilation_cache_dir == p
+        monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(tmp_path / "e"))
+        assert enable_persistent_compilation_cache() == str(tmp_path / "e")
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)

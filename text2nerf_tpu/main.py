@@ -16,8 +16,10 @@ def main(argv=None):
     from . import config as cfg_mod
     from .engine import trainer
     from .services.registry import default_services
+    from .utils.compilation_cache import enable_persistent_compilation_cache
     from .utils.seeding import set_seed
 
+    enable_persistent_compilation_cache()
     args = cfg_mod.parse_args(argv)
     # production overrides (text2nerf_main.py:657-665)
     args.use_support_set = True

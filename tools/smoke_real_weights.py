@@ -88,6 +88,11 @@ def main(argv=None):
     from text2nerf_tpu.data import scene_state as ss
     from text2nerf_tpu.engine import expansion, trainer
     from text2nerf_tpu.services.registry import default_services
+    from text2nerf_tpu.utils.compilation_cache import (
+        enable_persistent_compilation_cache,
+    )
+
+    enable_persistent_compilation_cache()
 
     hw = (args.hw, args.hw)
     scene_cfg = ss.SceneConfig(
