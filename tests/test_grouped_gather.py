@@ -1,7 +1,7 @@
 """Group-packed gathers (ops/fused_gather.py): G ray-consecutive samples
-per gathered row must reproduce the per-sample packed path exactly —
-including at clamped edges — and the grouped train render/grads must match
-the ungrouped ones."""
+per gathered row must reproduce the per-sample packed path (up to fp
+reassociation of the weighted contraction) — including at clamped edges —
+and the grouped train render/grads must match the ungrouped ones."""
 
 import jax
 import jax.numpy as jnp
@@ -44,8 +44,8 @@ def test_plane_groups_match_per_sample(block):
         block=block,
     )  # list of G (C, N) channel-major arrays
     got = jnp.stack(out, axis=0).transpose(2, 0, 1)  # (N, G, C)
-    # masked-select extraction + identical lerp order → bit-exact
-    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    # weighted contraction = per-sample lerp up to fp reassociation
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
 
 
 @pytest.mark.parametrize("block", [3, 4])
@@ -64,7 +64,7 @@ def test_line_groups_match_per_sample(block):
         block=block,
     )
     got = jnp.stack(out, axis=0).transpose(2, 0, 1)
-    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
 
 
 def test_grouping_safe_guard():
@@ -78,6 +78,9 @@ def test_grouping_safe_guard():
     assert tf.grouping_block(aabb, (48, 48, 48), step_ratio=1.0) == 3
     assert tf.grouping_block(aabb, (48, 48, 48), step_ratio=1.5) == 4
     assert tf.grouping_block(aabb, (48, 48, 384), step_ratio=1.0) == 0
+    # unnormalized wide-FOV directions scale the drift bound (ADVICE r2)
+    assert not tf.grouping_safe(aabb, (48, 48, 48), 1.0, dir_bound=3.0)
+    assert tf.grouping_block(aabb, (48, 48, 48), 1.0, dir_bound=1.9) == 4
 
 
 @pytest.mark.parametrize("model_name", ["vm_split", "cp"])

@@ -126,3 +126,51 @@ def test_compact_stride2_fp32_exact_vs_masked_dense():
     np.testing.assert_allclose(
         np.asarray(fast.rgb), np.asarray(dense.rgb), atol=2e-3
     )
+
+
+def test_occupancy_stride_guard():
+    """Strided occupancy falls back to stride 1 when the mask's extra
+    dilation cannot cover the untested samples (ADVICE r2)."""
+    params, _ = _field_and_mask()
+    mask5, _ = tf.update_alpha_mask(CFG, params, AABB, (24, 24, 24), pool=5)
+    # standard config: pool-5 slack (1 mask voxel) covers a 1-step drift
+    assert R.occupancy_stride_safe(CFG, params, AABB, mask5, 2)
+    # pool-3 masks have no slack beyond the reference's own dilation
+    mask3, _ = tf.update_alpha_mask(CFG, params, AABB, (24, 24, 24), pool=3)
+    assert not R.occupancy_stride_safe(CFG, params, AABB, mask3, 2)
+    # large step_ratio breaks the drift bound -> unsafe
+    cfg_big = tf.TensoRFConfig(
+        density_n_comp=CFG.density_n_comp, app_n_comp=CFG.app_n_comp,
+        app_dim=CFG.app_dim, fea_pe=CFG.fea_pe, feature_c=CFG.feature_c,
+        step_ratio=4.0,
+    )
+    assert not R.occupancy_stride_safe(cfg_big, params, AABB, mask5, 2)
+    # unnormalized wide-FOV directions shrink the safe envelope
+    assert not R.occupancy_stride_safe(CFG, params, AABB, mask5, 2,
+                                       dir_bound=4.0)
+    # memoization: second call answers from the dict cache
+    assert "_stride_safe" in mask5
+    assert R.occupancy_stride_safe(CFG, params, AABB, mask5, 2)
+
+
+def test_compact_unsafe_stride_renders_stride1():
+    """A pool-5 mask with a pathological step_ratio must render identically
+    to the explicitly-unstrided path (the guard forces occ_stride=1)."""
+    params, _ = _field_and_mask()
+    cfg_big = tf.TensoRFConfig(
+        density_n_comp=CFG.density_n_comp, app_n_comp=CFG.app_n_comp,
+        app_dim=CFG.app_dim, fea_pe=CFG.fea_pe, feature_c=CFG.feature_c,
+        step_ratio=4.0,
+    )
+    mask5, _ = tf.update_alpha_mask(cfg_big, params, AABB, (24, 24, 24), pool=5)
+    rays = _rays(32)
+    out = R.render_rays_compact(
+        cfg_big, params, AABB, rays, mask5,
+        n_samples=32, compact_k=16, app_k=16, feature_dtype="fp32",
+    )
+    mask_nostride = dict(mask5, pool=3)
+    ref = R.render_rays_compact(
+        cfg_big, params, AABB, rays, mask_nostride,
+        n_samples=32, compact_k=16, app_k=16, feature_dtype="fp32",
+    )
+    np.testing.assert_array_equal(np.asarray(out.rgb), np.asarray(ref.rgb))

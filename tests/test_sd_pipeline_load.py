@@ -77,3 +77,44 @@ def test_pipeline_raises_on_partial_dir(tmp_path):
     with pytest.raises(ValueError, match="missing"):
         DiffusionPipeline(str(tmp_path), inpaint=False, hw=(16, 16),
                           tiny=True, num_steps=2, dtype=jnp.float32)
+
+
+def test_pipeline_raises_on_vae_layout_mismatch(tmp_path):
+    """A VAE checkpoint whose keys don't match the diffusers layout must
+    raise (ADVICE r2: zero-filled latents are garbage, not a fallback)."""
+    _build_ckpt_dir(tmp_path)
+    p = tmp_path / "vae" / "diffusion_pytorch_model.bin"
+    sd = torch.load(p, weights_only=True)
+    torch.save({"model." + k: v for k, v in sd.items()}, p)
+    with pytest.raises(ValueError, match="VAE encoder"):
+        DiffusionPipeline(str(tmp_path), inpaint=False, hw=(16, 16),
+                          tiny=True, num_steps=2, dtype=jnp.float32)
+
+
+def test_pipeline_raises_on_text_layout_mismatch(tmp_path):
+    _build_ckpt_dir(tmp_path)
+    p = tmp_path / "text_encoder" / "pytorch_model.bin"
+    sd = torch.load(p, weights_only=True)
+    torch.save({"clip." + k: v for k, v in sd.items()}, p)
+    with pytest.raises(ValueError, match="CLIP text"):
+        DiffusionPipeline(str(tmp_path), inpaint=False, hw=(16, 16),
+                          tiny=True, num_steps=2, dtype=jnp.float32)
+
+
+def test_coverage_counts_alias_groups_once():
+    """Modern/legacy VAE attention aliases map to one target and must
+    count as ONE required key, hit by either name."""
+    from text2nerf_tpu.services.weight_convert import checkpoint_map_coverage
+
+    name_map = {
+        "a.to_q.weight": "lin:attn/to_q/kernel",
+        "a.query.weight": "lin:attn/to_q/kernel",
+        "a.conv_shortcut.weight": "res/shortcut/kernel",
+        "a.conv1.weight": "res/conv1/kernel",
+    }
+    # legacy alias present, modern absent; optional shortcut absent
+    hits, required = checkpoint_map_coverage(
+        {"a.query.weight": 0, "a.conv1.weight": 0}, name_map)
+    assert (hits, required) == (2, 2)
+    hits, required = checkpoint_map_coverage({"a.conv1.weight": 0}, name_map)
+    assert (hits, required) == (1, 2)

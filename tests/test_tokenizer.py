@@ -108,3 +108,22 @@ def test_pad_token_from_tokenizer_config(tmp_path):
 
 def test_missing_files_returns_none(tmp_path):
     assert CLIPBPETokenizer.from_dir(str(tmp_path)) is None
+
+
+def test_literal_special_tokens_map_to_single_ids(tmp_path):
+    """A literal '<|endoftext|>' in the prompt must encode to its single
+    vocab id (HF pre-seeds the BPE cache; ADVICE r2), not byte pieces."""
+    _tiny_vocab_files(tmp_path)
+    from transformers import CLIPTokenizer
+
+    hf = CLIPTokenizer(
+        str(tmp_path / "vocab.json"), str(tmp_path / "merges.txt")
+    )
+    ours = CLIPBPETokenizer.from_dir(str(tmp_path))
+    for prompt in ["hello <|endoftext|> world", "<|startoftext|>the cat"]:
+        expect = hf(
+            prompt, padding="max_length", truncation=True, max_length=32
+        )["input_ids"]
+        got = ours([prompt], context_length=32)[0]
+        assert got.tolist() == expect, (prompt, got.tolist(), expect)
+    assert ours.encode("<|endoftext|>") == [ours.eos_id]

@@ -17,6 +17,29 @@ from ..ops import rays as ray_ops
 from ..ops import render as render_ops
 from . import metrics as M
 
+_lpips_warned = False
+
+
+def _lpips_or_warn(gt, rgb, net, weights_dir):
+    """LPIPS needs converted weights; absence is reported ONCE, loudly —
+    silently omitting the metric made eval results misleading (VERDICT r2).
+    Returns None when unavailable."""
+    global _lpips_warned
+    try:
+        return M.lpips(gt, rgb, net, weights_dir)
+    except Exception as e:  # noqa: BLE001 — any failure means "no metric"
+        if not _lpips_warned:
+            import warnings
+
+            warnings.warn(
+                f"LPIPS unavailable ({type(e).__name__}: {e}); evals will "
+                "omit the lpips metric. Convert the torchvision weights "
+                "(tools/convert_weights.py) to enable it.",
+                stacklevel=3,
+            )
+            _lpips_warned = True
+        return None
+
 
 def write_video(path: str, frames, fps: int = 30, quality: int = 9):
     """mp4 via imageio-ffmpeg when available, else animated GIF
@@ -36,13 +59,19 @@ def write_video(path: str, frames, fps: int = 30, quality: int = 9):
 def render_view(
     cfg, params, aabb, rays, hw, *, n_samples, chunk=16384, app_k=64,
     white_bg=True, ndc=False, alpha_mask=None, compact_k=0,
+    feature_dtype="fp32",
 ):
-    """Render one view; returns (rgb (H,W,3), depth (H,W)) numpy arrays."""
+    """Render one view; returns (rgb (H,W,3), depth (H,W)) numpy arrays.
+
+    ``feature_dtype`` defaults to fp32 here (unlike render_chunked's bf16
+    perf default): view renders feed PSNR/SSIM metrics and saved
+    artifacts, which should be bit-comparable with the dense path
+    (ADVICE r2); pass 'bf16' to opt into the faster feature math."""
     h, w = hw
     out = render_ops.render_chunked(
         cfg, params, aabb, jnp.asarray(rays), n_samples=n_samples, chunk=chunk,
         app_k=app_k, white_bg=white_bg, ndc=ndc, alpha_mask=alpha_mask,
-        compact_k=compact_k,
+        compact_k=compact_k, feature_dtype=feature_dtype,
     )
     rgb = np.asarray(jnp.clip(out.rgb, 0.0, 1.0)).reshape(h, w, 3)
     depth = np.asarray(out.depth).reshape(h, w)
@@ -72,6 +101,7 @@ def evaluation(
     alpha_mask=None,
     compact_k: int = 0,
     n_vis: int = -1,
+    feature_dtype: str = "fp32",
 ):
     """Render a stack of views; compute metrics; optionally save pngs/mp4.
 
@@ -79,6 +109,11 @@ def evaluation(
     visualization shift ``depth - push_depth + 0.8`` (renderer.py:94) and
     the N_vis view subsampling rule (renderer.py:83-84): with ``n_vis > 0``
     only every ``len(views) // n_vis``-th view is rendered.
+
+    ``feature_dtype`` defaults to fp32: these renders carry the reported
+    PSNR/SSIM/LPIPS numbers, which must not silently lose bit-parity with
+    the dense path (~5e-3 rgb deviation under bf16 — ADVICE r2); bf16 is
+    a perf opt-in.
 
     Returns dict with 'psnr' list (+ 'ssim'/'lpips' if requested) and the
     rendered stacks.
@@ -97,7 +132,7 @@ def evaluation(
             cfg, params, aabb, jnp.asarray(rays_split[idx]),
             n_samples=n_samples, chunk=chunk, app_k=app_k,
             white_bg=white_bg, ndc=ndc, alpha_mask=alpha_mask,
-            compact_k=compact_k,
+            compact_k=compact_k, feature_dtype=feature_dtype,
         )
         rgb = np.asarray(jnp.clip(out.rgb, 0.0, 1.0)).reshape(hw[0], hw[1], 3)
         depth = np.asarray(out.depth).reshape(hw[0], hw[1])
@@ -109,10 +144,9 @@ def evaluation(
             psnrs.append(M.psnr(rgb, gt))
             if compute_extra_metrics:
                 ssims.append(M.ssim(rgb, gt, 1.0))
-                try:
-                    lpips_a.append(M.lpips(gt, rgb, "alex", lpips_weights_dir))
-                except Exception:
-                    pass
+                lp = _lpips_or_warn(gt, rgb, "alex", lpips_weights_dir)
+                if lp is not None:
+                    lpips_a.append(lp)
 
         rgb_maps.append((rgb * 255).astype(np.uint8))
         depth_maps.append(depth_vis)
@@ -146,6 +180,7 @@ def evaluation_path(
     cfg, params, aabb, c2ws, hw, intrinsic, *, n_samples, save_path=None,
     chunk: int = 8192, app_k: int = 64, white_bg: bool = False, ndc: bool = False,
     near_far=(0.5, 8.0), alpha_mask=None, compact_k: int = 0,
+    feature_dtype: str = "fp32",
 ):
     """Render along a camera path, regenerating rays per pose
     (evaluation_path, renderer.py:142-197).  A checkpoint-loaded model in
@@ -163,6 +198,7 @@ def evaluation_path(
             cfg, params, aabb, rays, hw, n_samples=n_samples, chunk=chunk,
             app_k=app_k, white_bg=white_bg, ndc=ndc,
             alpha_mask=alpha_mask, compact_k=compact_k,
+            feature_dtype=feature_dtype,
         )
         depth_vis, _ = M.visualize_depth(depth, near_far)
         rgb_maps.append((rgb * 255).astype(np.uint8))

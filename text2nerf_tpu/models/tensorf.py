@@ -359,33 +359,43 @@ def compute_density_feature_packed(cfg: TensoRFConfig, packed, xn, dtype=None):
 
 
 def grouping_safe(
-    aabb, grid_size, step_ratio: float, group: int = 2, block: int = 4
+    aabb, grid_size, step_ratio: float, group: int = 2, block: int = 4,
+    dir_bound: float = 1.0,
 ) -> bool:
     """Host-side guard for the group-packed density gathers: True when
     ``group`` ray-consecutive samples are guaranteed to span at most
     ``block - 2`` grid cells per axis (ops/fused_gather.py group packing).
 
     The worst-case real-valued cell drift across the group along axis a is
-    (group-1) · step / units[a] (|dir component| ≤ 1 for normalized
-    directions); the span of the floors is at most ⌈drift⌉ ≤ block-2 when
-    drift ≤ block-2."""
+    (group-1) · step · dir_bound / units[a]; the span of the floors is at
+    most ⌈drift⌉ ≤ block-2 when drift ≤ block-2.
+
+    ``dir_bound`` is the maximum |direction component| of the marched
+    rays: 1.0 for the normalized directions the data layer emits
+    (scene_gen.py:45 semantics).  Camera-grid directions are NOT
+    normalized in some conventions and exceed 1 for FOV > 90° — callers
+    marching unnormalized rays must pass their actual bound or the drift
+    is under-estimated and out-of-block spans silently read 0 (ADVICE
+    r2)."""
     aabb = jnp.asarray(aabb)
     units = (aabb[1] - aabb[0]) / (jnp.asarray(grid_size, jnp.float32) - 1)
     step = float(jnp.mean(units)) * step_ratio
-    drift = (group - 1) * step / float(jnp.min(units))
+    drift = (group - 1) * step * dir_bound / float(jnp.min(units))
     return drift <= block - 2 + 1e-6
 
 
 def grouping_block(
-    aabb, grid_size, step_ratio: float, group: int = 2, max_block: int = 4
+    aabb, grid_size, step_ratio: float, group: int = 2, max_block: int = 4,
+    dir_bound: float = 1.0,
 ) -> int:
     """Smallest safe packing block for grouped density gathers, or 0 when
     none ≤ max_block is safe (→ callers fall back to per-sample gathers).
     Smaller blocks cost proportionally less HBM per gathered row, so pick
     the tightest one the drift bound allows (block 3 at the standard
-    equal-units / step_ratio ≤ 1 config)."""
+    equal-units / step_ratio ≤ 1 config).  ``dir_bound``: see
+    grouping_safe."""
     for block in range(3, max_block + 1):
-        if grouping_safe(aabb, grid_size, step_ratio, group, block):
+        if grouping_safe(aabb, grid_size, step_ratio, group, block, dir_bound):
             return block
     return 0
 
@@ -430,10 +440,10 @@ def compute_density_feature_grouped(
     xn: (N, G, 3) normalized coords — G consecutive samples of one ray per
     row.  One gathered block row per group serves all G samples (and one
     scatter row per group in the backward — the training step's dominant
-    cost).  Bit-identical to compute_density_feature_packed when the group
-    span fits the block (``grouping_safe``).  Returns (N, G) —
-    every big intermediate stays channel-major 2D (TPU tile padding; see
-    ops/fused_gather._select_slices_t)."""
+    cost).  Equal to compute_density_feature_packed up to fp reassociation
+    when the group span fits the block (``grouping_safe``).  Returns
+    (N, G) — every big intermediate stays channel-major 2D (TPU tile
+    padding; see ops/fused_gather.sample_packed_plane_groups)."""
     from ..ops import fused_gather as fg
 
     n, g = xn.shape[0], xn.shape[1]

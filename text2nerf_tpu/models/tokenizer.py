@@ -67,7 +67,12 @@ class CLIPBPETokenizer:
         self.bos_id = vocab[bos_token]
         self.eos_id = vocab[eos_token]
         self.pad_id = vocab[pad_token] if pad_token else self.eos_id
-        self._cache = {}
+        # Pre-seed the BPE cache so literal special tokens in a prompt map
+        # to their single vocab ids instead of being byte-BPE split — HF's
+        # CLIPTokenizer seeds its cache the same way (ADVICE r2).  The
+        # byte-encoder maps printable ASCII to itself, so the byte-encoded
+        # token equals the raw token and hits this cache.
+        self._cache = {bos_token: bos_token, eos_token: eos_token}
         self._pat = regex.compile(
             r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"""
             r"""|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""",

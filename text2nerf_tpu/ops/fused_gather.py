@@ -119,25 +119,30 @@ def pack_line_block(line, block: int = 4):
     return jnp.concatenate([p[d : d + l] for d in range(block)], axis=-1)
 
 
-def _select_slices_t(rows_t, pos, n_pos: int, c: int, offsets):
-    """Extract len(offsets) C-wide slice groups per sample at dynamic
-    positions, in channel-major (transposed) layout.
+def _axis_weights(i0, t, base, block: int):
+    """Per-sample 1D interpolation weights spread over the packing block.
 
-    rows_t: (n_pos·C, N); pos: (N,) int base position; offsets: static
-    ints.  Returns a list of (C, N) arrays, entry k =
-    rows_t[(pos+offsets[k])·C : ·+C, n] — an unrolled masked accumulation
-    over the n_pos static slices.  Channel-major matters: N is the minor
-    (lane) dimension and is 128-aligned at real batch sizes, so the big
-    temporaries pad to ~1x — a (N, C=16) layout pads 8x in TPU (8, 128)
-    tiles and OOMs the production train step.  The picks are exact
-    (masked adds of exact zeros)."""
-    acc = [jnp.zeros((c, rows_t.shape[1]), rows_t.dtype) for _ in offsets]
-    for p in range(n_pos):
-        sl = rows_t[p * c : (p + 1) * c]
-        for k, off in enumerate(offsets):
-            m = (pos + off == p)[None, :]
-            acc[k] = acc[k] + jnp.where(m, sl, jnp.zeros((), rows_t.dtype))
-    return acc
+    i0, t: (N, G) integer cell + fractional offset from :func:`_coords`;
+    base: (N,) block base cell (min over the group).  Returns (G, block, N)
+    channel-major weights ``wb`` with ``wb[g, b] = (1-t)·[b == i0-base] +
+    t·[b == i0-base+1]`` — i.e. the linear-interp weights of sample g
+    placed at their block positions, zero elsewhere.  Contracting the
+    gathered block row against these weights IS the per-sample lerp
+    (the round-2 masked-select extraction lost on exactly this glue:
+    4 corner selects × block² positions of compare+where traffic; the
+    weighted contraction needs only block multiply-adds per axis).
+    """
+    d = (i0 - base[:, None]).T  # (G, N)
+    t_t = t.T
+    zero = jnp.zeros((), t_t.dtype)
+    return jnp.stack(
+        [
+            jnp.where(d == b, 1.0 - t_t, zero)
+            + jnp.where(d == b - 1, t_t, zero)
+            for b in range(block)
+        ],
+        axis=1,
+    )  # (G, block, N)
 
 
 def sample_packed_plane_groups(
@@ -152,8 +157,16 @@ def sample_packed_plane_groups(
         callers check via ``tensorf.grouping_block`` — out-of-block spans
         would silently read 0, so the guard must be conservative).
 
-    Returns: list of G (C, N) channel-major arrays (see _select_slices_t
-    for why), bit-identical to the per-sample sample_packed_plane.
+    Returns: list of G (C, N) channel-major arrays.  Channel-major
+    matters: N is the minor (lane) dimension and is 128-aligned at real
+    batch sizes, so the big temporaries pad to ~1x — a (N, C=16) layout
+    pads 8x in TPU (8, 128) tiles and OOMs the production train step.
+
+    Implementation: weighted contraction of the block row against the
+    outer product of the per-axis weights (``_axis_weights``): the sample
+    value is Σ_{py,px} wy[py]·wx[px]·row[(py·block+px)·C:+C].  Equal to
+    the per-sample bilinear lerp up to fp reassociation (the weight
+    product is formed before multiplying the corner value).
     """
     n, g = x.shape
     x0, tx = _coords(x, w)
@@ -165,19 +178,21 @@ def sample_packed_plane_groups(
         rows = rows.astype(dtype)
         tx, ty = tx.astype(dtype), ty.astype(dtype)
     rows_t = rows.T  # (block²·C, N): lane-aligned minor dim
-    dy = y0 - by[:, None]
-    dx = x0 - bx[:, None]
+    wx = _axis_weights(x0, tx, bx, block)  # (G, block, N)
+    wy = _axis_weights(y0, ty, by, block)
     out = []
     for gi in range(g):
-        p00 = dy[:, gi] * block + dx[:, gi]
-        f00, f01, f10, f11 = _select_slices_t(
-            rows_t, p00, block * block, c, (0, 1, block, block + 1)
-        )
-        t_x = tx[None, :, gi]
-        t_y = ty[None, :, gi]
-        top = f00 * (1.0 - t_x) + f01 * t_x
-        bot = f10 * (1.0 - t_x) + f11 * t_x
-        out.append(top * (1.0 - t_y) + bot * t_y)
+        pf = None
+        for py in range(block):
+            # contract the x axis first within row py, then weight by wy
+            acc = None
+            for px in range(block):
+                p = py * block + px
+                term = rows_t[p * c : (p + 1) * c] * wx[gi, px][None, :]
+                acc = term if acc is None else acc + term
+            term = acc * wy[gi, py][None, :]
+            pf = term if pf is None else pf + term
+        out.append(pf)
     return out
 
 
@@ -194,10 +209,12 @@ def sample_packed_line_groups(
         rows = rows.astype(dtype)
         ty = ty.astype(dtype)
     rows_t = rows.T
-    d = y0 - base[:, None]
+    wl = _axis_weights(y0, ty, base, block)  # (G, block, N)
     out = []
     for gi in range(g):
-        f0, f1 = _select_slices_t(rows_t, d[:, gi], block, c, (0, 1))
-        t_y = ty[None, :, gi]
-        out.append(f0 * (1.0 - t_y) + f1 * t_y)
+        f = None
+        for b in range(block):
+            term = rows_t[b * c : (b + 1) * c] * wl[gi, b][None, :]
+            f = term if f is None else f + term
+        out.append(f)
     return out

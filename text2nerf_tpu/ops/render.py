@@ -145,6 +145,11 @@ def _render_rays(
         the mask is 0 are treated as empty (tensorBase.py:451-456).
       eval_z_min: eval-time world-z culling threshold — the "Eckert" filter
         dropping samples with z <= 2 at eval (tensorBase.py:458-462).
+      density_group: >1 packs that many ray-consecutive samples per
+        density gather/scatter row — callers MUST check
+        tensorf.grouping_block first, passing their actual |direction
+        component| bound when rays are not normalized (FOV > 90° exceeds
+        1.0 and silently reads 0 otherwise; see grouping_safe).
     """
     aabb = jnp.asarray(aabb)
     rays_o, rays_d = rays[:, :3], rays[:, 3:6]
@@ -244,6 +249,57 @@ def _render_rays(
     return RenderOutput(rgb=rgb, depth=depth, z_vals=z_vals, weights=weights, acc=acc)
 
 
+def occupancy_stride_safe(
+    cfg, params, aabb, alpha_mask, stride: int, dir_bound: float = 1.0
+) -> bool:
+    """Host-side guard for strided occupancy testing (analogous to
+    tensorf.grouping_safe for grouped gathers — ADVICE r2).
+
+    Testing occupancy only every ``stride``-th sample is conservative only
+    when the untested neighbors' lookups stay inside the mask's EXTRA
+    dilation: the reference's own 3³ max-pool (tensorBase.py:355) is
+    already spent making the nearest-voxel test conservative, so the
+    slack is ``(pool-3)/2`` mask voxels.  An untested sample drifts at
+    most ``(stride-1)·step·dir_bound`` world units from its tested
+    neighbor (``dir_bound``: max |direction| component — 1.0 for the
+    normalized directions the data layer emits; pass the actual bound for
+    unnormalized wide-FOV rays).  With a large step_ratio or anisotropic
+    mask voxels the bound fails and callers must fall back to stride 1 —
+    render_rays_compact does so automatically.
+
+    Results are memoized in the mask dict (keyed by grid reso / step_ratio
+    / stride) so the aabb readback happens once per mask, not per chunk.
+    """
+    if stride <= 1:
+        return True
+    import numpy as np
+
+    from ..models import tensorf as tf_mod
+
+    reso = tf_mod.grid_resolution(cfg, params)
+    key = (reso, float(cfg.step_ratio), int(stride), float(dir_bound))
+    cache = alpha_mask.setdefault("_stride_safe", {})
+    if key not in cache:
+        pool = int(alpha_mask.get("pool", 3))
+        slack = (pool - 3) // 2
+        if slack <= 0:
+            cache[key] = False
+        else:
+            d, h, w = alpha_mask["volume"].shape
+            m_aabb = np.asarray(alpha_mask["aabb"], np.float64)
+            mask_unit = (
+                (m_aabb[1] - m_aabb[0]) / np.array([w - 1, h - 1, d - 1])
+            ).min()
+            a = np.asarray(aabb, np.float64)
+            step = ((a[1] - a[0]) / (np.asarray(reso) - 1)).mean() * float(
+                cfg.step_ratio
+            )
+            cache[key] = bool(
+                (stride - 1) * step * dir_bound <= slack * mask_unit + 1e-9
+            )
+    return cache[key]
+
+
 def _nearest_alpha_lookup(alpha_mask, pts):
     """Single-gather occupancy test: nearest-voxel lookup into the (dilated)
     alpha volume.  One gathered row per sample vs 8 for the trilinear test;
@@ -298,6 +354,10 @@ def render_rays_compact(
       'fp32' for bit-level parity with the dense path.
     """
     occ_stride = max(1, (int(alpha_mask.get("pool", 3)) - 1) // 2)
+    if occ_stride > 1 and not occupancy_stride_safe(
+        cfg, params, aabb, alpha_mask, occ_stride
+    ):
+        occ_stride = 1
     return _render_rays_compact(
         cfg, params, aabb, rays, _strip_pool(alpha_mask),
         n_samples=n_samples, compact_k=compact_k, app_k=app_k,

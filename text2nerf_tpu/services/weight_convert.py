@@ -705,14 +705,50 @@ def _find_weights_file(d: str) -> Optional[str]:
     return None
 
 
+def checkpoint_map_coverage(state, name_map, optional_substr=("conv_shortcut",)):
+    """(hits, required) for a torch→flax name map against a state dict.
+
+    Alias groups — several torch keys mapped to ONE flax target, e.g. the
+    modern/legacy VAE attention pairs to_q/query (_sd_vae_attn_map) —
+    count as one required key, hit when ANY alias is present.  Targets
+    whose every torch key contains an ``optional_substr`` are skipped:
+    shortcut convs exist only on channel-changing resnets, so their
+    absence is layout-legal.
+    """
+    groups: Dict[str, list] = {}
+    for tk, fk in name_map.items():
+        groups.setdefault(fk.split(":", 1)[-1], []).append(tk)
+    hits = required = 0
+    for tks in groups.values():
+        if all(any(s in tk for s in optional_substr) for tk in tks):
+            continue
+        required += 1
+        if any(tk in state for tk in tks):
+            hits += 1
+    return hits, required
+
+
+def _require_coverage(state, name_map, what: str, path: str,
+                      optional_substr=("conv_shortcut",)):
+    """Raise unless ≥99% of the map's required targets are present —
+    a layout mismatch must fail loudly, never fall through to
+    fill_missing_params zero-fill (which would produce garbage outputs)."""
+    hits, required = checkpoint_map_coverage(state, name_map, optional_substr)
+    if hits < 0.99 * required:
+        raise ValueError(
+            f"{what} checkpoint layout mismatch: {hits}/{required} mapped "
+            f"keys present in {path}")
+
+
 def convert_sd_checkpoint_dir(ckpt_dir: str, pipeline) -> Optional[dict]:
     """Convert a diffusers-layout checkpoint directory (unet/ vae/
     text_encoder/ subfolders, as downloaded for the reference's weights/
     tree) into the DiffusionPipeline params dict.
 
     Uses jax.eval_shape on the pipeline's modules for the reference shapes
-    so nothing large is materialized twice.  Raises if the UNet checkpoint
-    covers less than 99% of its name map (layout mismatch ≠ silent noise).
+    so nothing large is materialized twice.  Raises if any component's
+    checkpoint covers less than 99% of its name map (layout mismatch ≠
+    silent noise).
     """
     import jax
     import jax.numpy as jnp
@@ -734,12 +770,7 @@ def convert_sd_checkpoint_dir(ckpt_dir: str, pipeline) -> Optional[dict]:
 
     unet_sd = load_torch_checkpoint(unet_file)
     umap = sd_unet_name_map(pipeline.unet_cfg)
-    hits = sum(1 for k in umap if k in unet_sd)
-    required = sum(1 for k in umap if "conv_shortcut" not in k)
-    if hits < 0.99 * required:
-        raise ValueError(
-            f"SD UNet checkpoint layout mismatch: {hits}/{required} mapped "
-            f"keys present in {unet_file}")
+    _require_coverage(unet_sd, umap, "SD UNet", unet_file)
     ref = shapes(pipeline.unet,
                  jnp.zeros((1, h // f, w // f, pipeline.unet_cfg.in_channels)),
                  jnp.zeros((1,)), jnp.zeros(
@@ -751,19 +782,27 @@ def convert_sd_checkpoint_dir(ckpt_dir: str, pipeline) -> Optional[dict]:
 
     if vae_file is not None:
         vae_sd = load_torch_checkpoint(vae_file)
+        enc_map = sd_vae_encoder_name_map(pipeline.vae_cfg)
+        dec_map = sd_vae_decoder_name_map(pipeline.vae_cfg)
+        _require_coverage(vae_sd, enc_map, "SD VAE encoder", vae_file)
+        _require_coverage(vae_sd, dec_map, "SD VAE decoder", vae_file)
         ref = shapes(pipeline.vae_enc, jnp.zeros((1, h, w, 3)))
         params["vae_encoder"] = fill_missing_params(
-            convert_torch_state_dict(
-                vae_sd, sd_vae_encoder_name_map(pipeline.vae_cfg)), ref)
+            convert_torch_state_dict(vae_sd, enc_map), ref)
         ref = shapes(pipeline.vae_dec, jnp.zeros(
             (1, h // f, w // f, pipeline.vae_cfg.latent_channels)))
         params["vae_decoder"] = fill_missing_params(
-            convert_torch_state_dict(
-                vae_sd, sd_vae_decoder_name_map(pipeline.vae_cfg)), ref)
+            convert_torch_state_dict(vae_sd, dec_map), ref)
         del vae_sd
 
     if text_file is not None:
         text_sd = load_torch_checkpoint(text_file)
+        # text_projection exists only on the WithProjection HF variant;
+        # SD text encoders (plain CLIPTextModel) legitimately lack it
+        _require_coverage(
+            text_sd, clip_text_name_map(pipeline.text_cfg.layers),
+            "CLIP text encoder", text_file,
+            optional_substr=("text_projection",))
         ref = shapes(pipeline.text, jnp.zeros(
             (1, pipeline.text_cfg.context_length), jnp.int32))
         params["text"] = convert_clip_text(

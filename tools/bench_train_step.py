@@ -1,0 +1,93 @@
+"""Train-step benchmark at the production config (300^3, 259 samples,
+batch 16384) on the real TPU chip.
+
+Measurement rules (PERF.md): every timed call consumes a batch with
+UNIQUE contents (the axon tunnel dedupes repeat dispatches on
+previously-seen buffers), and each timing window ends with a host scalar
+readback (block_until_ready alone does not force execution through the
+tunnel).
+
+Usage:
+  python tools/bench_train_step.py [--group 1] [--block 3] [--mb 32]
+      [--steps 8] [--compute-dtype fp32]
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--group", type=int, default=1)
+    ap.add_argument("--block", type=int, default=3)
+    ap.add_argument("--mb", type=int, default=32)
+    ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=16384)
+    ap.add_argument("--compute-dtype", default="fp32")
+    ap.add_argument("--app-k", type=int, default=64)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from text2nerf_tpu.models import tensorf as tf
+    from text2nerf_tpu.engine import train_step as ts
+
+    cfg = tf.TensoRFConfig()
+    aabb = jnp.array([[-8.0, -8.0, -8.0], [8.0, 8.0, 8.0]])
+    reso = tf.n_to_reso(27_000_000, aabb)
+    n_samples = tf.default_n_samples(reso, cfg.step_ratio)
+    print(f"reso={reso} n_samples={n_samples} group={args.group} "
+          f"block={args.block} mb={args.mb} dtype={args.compute_dtype}")
+
+    params = tf.init_params(jax.random.PRNGKey(0), cfg, reso)
+    state, tx = ts.make_train_state(params, factor=0.999)
+    kwargs = {}
+    if args.compute_dtype != "fp32":
+        kwargs["compute_dtype"] = args.compute_dtype
+    step_fn = ts.make_train_step(
+        cfg, tx, n_samples=n_samples, app_k=args.app_k,
+        density_group=args.group, density_block=args.block,
+        microbatch=args.mb, **kwargs,
+    )
+
+    b = args.batch
+    rng = np.random.default_rng(0)
+
+    def make_batch(i):
+        o = rng.uniform(-0.5, 0.5, (b, 3)).astype(np.float32)
+        d = rng.normal(size=(b, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        return {
+            "rays": jnp.asarray(np.concatenate([o, d], -1)),
+            "rgb": jnp.asarray(rng.uniform(0, 1, (b, 3)).astype(np.float32)),
+            "depth": jnp.asarray(
+                rng.uniform(2.5, 6.0, b).astype(np.float32)
+            ),
+        }
+
+    batches = [make_batch(i) for i in range(args.steps + 1)]
+    key = jax.random.PRNGKey(0)
+
+    # warm-up / compile on batch outside the timed set
+    t0 = time.time()
+    state, m = step_fn(state, aabb, batches[-1], key)
+    print(f"compile+first step: {time.time() - t0:.1f}s  "
+          f"psnr={float(m['psnr']):.2f}")
+
+    t0 = time.time()
+    for i in range(args.steps):
+        key, k = jax.random.split(key)
+        state, m = step_fn(state, aabb, batches[i], k)
+    _ = float(m["mse"])  # host readback forces execution
+    dt = (time.time() - t0) / args.steps
+    print(f"ms/step: {dt * 1e3:.1f}")
+
+
+if __name__ == "__main__":
+    main()
