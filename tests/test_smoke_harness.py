@@ -48,3 +48,36 @@ def test_harness_runs_hermetically(tmp_path, capsys):
     # micro sizes (48², 40³, 1-epoch stages) bound correctness, not
     # quality: every view must render finitely and not be garbage
     assert all(np.isfinite(p) and p > 5 for p in summary["per_view_psnr"]), summary
+
+
+def test_registry_reports_actual_resolution(tmp_path):
+    """default_services fills Services.resolution with what it ACTUALLY
+    built — the smoke harness asserts this against the weights-tree
+    prediction (VERDICT r2: the real-weights path must flip visibly)."""
+    sys.path.insert(0, REPO)
+    from text2nerf_tpu.services.registry import default_services
+
+    s = default_services(weights_dir=None, hw=(32, 32), merge_net_size=64,
+                         merge_num_downs=4)
+    assert s.resolution == {
+        "text2img": "fallback", "inpaint": "fallback", "depth": "fallback",
+        "rank": "fallback", "merge": "init",
+    }
+
+
+def test_lpips_absence_warns_once(tmp_path):
+    """Missing LPIPS weights produce ONE loud warning, not a silent pass
+    (VERDICT r2; engine/renderer previously swallowed the exception)."""
+    import warnings
+
+    from text2nerf_tpu.engine import renderer as R
+
+    R._lpips_warned = False  # reset the once-latch for this test
+    img = np.zeros((16, 16, 3), np.float32)
+    missing = str(tmp_path / "no_lpips_weights")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert R._lpips_or_warn(img, img, "alex", missing) is None
+        assert R._lpips_or_warn(img, img, "alex", missing) is None
+    msgs = [w for w in caught if "LPIPS unavailable" in str(w.message)]
+    assert len(msgs) == 1, [str(w.message) for w in caught]

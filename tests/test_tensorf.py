@@ -144,3 +144,44 @@ def test_param_group_labels():
     assert labels["basis"] == "network"
     assert set(jax.tree.leaves(labels["mlp"])) == {"network"}
     assert set(jax.tree.leaves(labels["density_planes"])) == {"spatial"}
+
+
+def test_shrink_cp_crops_lines_and_preserves_field():
+    """TensorCP.shrink (tensoRF.py:388-416): crop line factors to the
+    snapped AABB; density at interior points is unchanged when evaluated
+    against the corrected AABB (grid nodes are preserved by the crop)."""
+    cfg = tf.TensoRFConfig(
+        model_name="cp", density_n_comp=(8, 8, 8), app_n_comp=(8, 8, 8),
+        app_dim=9, fea_pe=2, feature_c=16,
+    )
+    grid = (17, 13, 9)
+    params = tf.init_params(jax.random.PRNGKey(1), cfg, grid)
+    shrunk, corrected, new_size = tf.shrink(
+        cfg, params, AABB, jnp.array([[-1.0, -0.8, -1.2], [1.0, 1.3, 0.9]])
+    )
+    assert tf.grid_resolution(cfg, shrunk) == new_size
+    assert all(s <= g for s, g in zip(new_size, grid))
+    assert "density_planes" not in shrunk  # cp has line factors only
+
+    # interior points: same density before (old aabb) and after (corrected).
+    # Sample strictly inside the SNAPPED box (the coarse grid rounds the
+    # requested bounds outward/inward by up to one voxel, e.g. -0.8 →
+    # -0.667 on the 13-node axis; outside it, clamping legitimately
+    # differs).
+    rng = np.random.default_rng(3)
+    lo = np.asarray(corrected)[0] + 0.1
+    hi = np.asarray(corrected)[1] - 0.1
+    pts = rng.uniform(lo, hi, (64, 3)).astype(np.float32)
+    xn_old = np.asarray(tf.normalize_coord(AABB, jnp.asarray(pts)))
+    xn_new = np.asarray(tf.normalize_coord(corrected, jnp.asarray(pts)))
+    before = tf.compute_density_feature(cfg, params, jnp.asarray(xn_old))
+    after = tf.compute_density_feature(cfg, shrunk, jnp.asarray(xn_new))
+    np.testing.assert_allclose(
+        np.asarray(after), np.asarray(before), atol=1e-4, rtol=1e-4
+    )
+    # appearance path too
+    before_a = tf.compute_app_feature(cfg, params, jnp.asarray(xn_old))
+    after_a = tf.compute_app_feature(cfg, shrunk, jnp.asarray(xn_new))
+    np.testing.assert_allclose(
+        np.asarray(after_a), np.asarray(before_a), atol=1e-4, rtol=1e-4
+    )

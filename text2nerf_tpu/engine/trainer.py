@@ -385,7 +385,12 @@ def reconstruction(
                 alpha_mask, new_aabb = tf.update_alpha_mask(
                     mcfg, state.params, aabb, mask_reso
                 )
-                if global_step == cfg.update_alphamask_list[0]:
+                if (
+                    global_step == cfg.update_alphamask_list[0]
+                    and mcfg.model_name in ("vm_split", "cp")
+                ):
+                    # the fused 'vm' variant has no shrink in the
+                    # reference either (its cubic grid can't crop per-axis)
                     params_sh, aabb, _ = tf.shrink(
                         mcfg, state.params, aabb, new_aabb
                     )

@@ -720,11 +720,21 @@ def upsample_volume_grid(cfg: TensoRFConfig, params, res_target):
 
 
 def shrink(cfg: TensoRFConfig, params, aabb, new_aabb):
-    """Crop factor grids to a tighter AABB (tensoRF.py:266-303).
+    """Crop factor grids to a tighter AABB.
+
+    vm_split crops planes + lines (TensorVMSplit.shrink, tensoRF.py:
+    266-303); cp crops its line factors only (TensorCP.shrink,
+    tensoRF.py:388-416) — both share the same voxel-snapped t_l/b_r and
+    AABB-correction math.  The fused ``vm`` variant has no shrink in the
+    reference either (it requires a cubic grid, which a per-axis crop
+    would break).
 
     Returns (params, corrected_aabb, new_grid_size).
     """
-    assert cfg.model_name == "vm_split", "shrink implemented for vm_split"
+    assert cfg.model_name in ("vm_split", "cp"), (
+        f"shrink implemented for vm_split/cp (reference parity); "
+        f"got {cfg.model_name}"
+    )
     import numpy as np
 
     aabb = np.asarray(aabb)
@@ -736,17 +746,26 @@ def shrink(cfg: TensoRFConfig, params, aabb, new_aabb):
     b_r = np.minimum(b_r, gs)
 
     new = dict(params)
-    for key_p, key_l in (
-        ("density_planes", "density_lines"),
-        ("app_planes", "app_lines"),
-    ):
-        planes, lines = [], []
-        for i in range(3):
-            m0, m1 = MAT_MODE[i]
-            v = VEC_MODE[i]
-            lines.append(params[key_l][i][t_l[v] : b_r[v]])
-            planes.append(params[key_p][i][t_l[m1] : b_r[m1], t_l[m0] : b_r[m0]])
-        new[key_p], new[key_l] = tuple(planes), tuple(lines)
+    if cfg.model_name == "cp":
+        for key_l in ("density_lines", "app_lines"):
+            new[key_l] = tuple(
+                params[key_l][i][t_l[VEC_MODE[i]] : b_r[VEC_MODE[i]]]
+                for i in range(3)
+            )
+    else:
+        for key_p, key_l in (
+            ("density_planes", "density_lines"),
+            ("app_planes", "app_lines"),
+        ):
+            planes, lines = [], []
+            for i in range(3):
+                m0, m1 = MAT_MODE[i]
+                v = VEC_MODE[i]
+                lines.append(params[key_l][i][t_l[v] : b_r[v]])
+                planes.append(
+                    params[key_p][i][t_l[m1] : b_r[m1], t_l[m0] : b_r[m0]]
+                )
+            new[key_p], new[key_l] = tuple(planes), tuple(lines)
 
     t_l_r = t_l / (gs - 1)
     b_r_r = (b_r - 1) / (gs - 1)

@@ -34,6 +34,11 @@ class Services:
     rank: Callable[[Sequence[np.ndarray], np.ndarray], np.ndarray]
     # per-view depth-merge finetuner
     merge: DepthMergeService
+    # what each family ACTUALLY resolved to: 'real' | 'fallback' | 'init'
+    # (filled by default_services; hand-built bundles may leave it empty).
+    # Surfaced so acceptance runs (tools/smoke_real_weights.py) can assert
+    # the pretrained path is live instead of silently procedural.
+    resolution: dict = dataclasses.field(default_factory=dict)
 
 
 def default_services(
@@ -98,10 +103,19 @@ def default_services(
     merge = DepthMergeService(
         ckpt_path=merge_ckpt, net_size=merge_net_size, num_downs=merge_num_downs
     )
+    resolution = {
+        "text2img": "real" if _has("stable-diffusion-2-1-base") else "fallback",
+        "inpaint": "real" if _has("stable-diffusion-2-inpainting") else "fallback",
+        "depth": "real" if _has("leres") else "fallback",
+        "rank": "real" if _has("clip-vit-base-patch32") else "fallback",
+        # the merge net always exists; 'init' = random-initialized weights
+        "merge": "real" if _has("merge_model_sc.npz") else "init",
+    }
     return Services(
         text2img=text2img,
         inpaint=inpaint,
         estimate_depth=estimate_depth,
         rank=rank,
         merge=merge,
+        resolution=resolution,
     )

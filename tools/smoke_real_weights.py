@@ -122,6 +122,19 @@ def main(argv=None):
         merge_net_size=merge_size,
         merge_num_downs={1024: 10, 512: 9, 256: 8, 128: 7}.get(merge_size, 6),
     )
+    # the registry's ACTUAL resolution must match what the weights tree
+    # promises — a future environment with real checkpoints flips to the
+    # real path VISIBLY, and a conversion/layout break fails here instead
+    # of silently running procedural priors (VERDICT r2).
+    if services.resolution != resolution:
+        print(json.dumps({
+            "status": "error",
+            "detail": "service resolution mismatch",
+            "expected": resolution,
+            "actual": services.resolution,
+        }), flush=True)
+        return 1
+    resolution = services.resolution
 
     t0 = time.time()
     mcfg, params, aabb, scene, logfolder = trainer.reconstruction(
