@@ -118,3 +118,46 @@ def test_coverage_counts_alias_groups_once():
     assert (hits, required) == (2, 2)
     hits, required = checkpoint_map_coverage({"a.conv1.weight": 0}, name_map)
     assert (hits, required) == (1, 2)
+
+
+def test_scheduler_selected_from_checkpoint_config(tmp_path):
+    """Inpaint pipelines run the checkpoint's shipped scheduler
+    (inpaint_sdm.py:52-56 — PNDM for SD-2-inpainting); text2img overrides
+    with EulerDiscrete like text2img_sdm.py:16-28."""
+    _build_ckpt_dir(tmp_path, in_channels=9)
+    sdir = tmp_path / "scheduler"
+    sdir.mkdir()
+    (sdir / "scheduler_config.json").write_text(json.dumps({
+        "_class_name": "PNDMScheduler",
+        "num_train_timesteps": 1000,
+        "beta_start": 0.00085, "beta_end": 0.012,
+        "steps_offset": 1, "skip_prk_steps": True,
+    }))
+    pipe = DiffusionPipeline(str(tmp_path), inpaint=True, hw=(16, 16),
+                             tiny=True, num_steps=3, dtype=jnp.float32)
+    assert pipe.scheduler == "pndm"
+    sched = pipe._make_schedule()
+    assert sched.timesteps.shape[0] == 4  # PLMS warm-up re-evaluation
+    imgs = pipe.generate(
+        "fill", num_images=1, seed=0,
+        init_image=np.zeros((16, 16, 3), np.float32),
+        mask_holes=np.ones((16, 16), np.float32),
+    )
+    assert imgs[0].shape == (16, 16, 3) and np.isfinite(imgs[0]).all()
+
+    pipe2 = DiffusionPipeline(str(tmp_path), inpaint=False, hw=(16, 16),
+                              tiny=True, num_steps=3, dtype=jnp.float32)
+    assert pipe2.scheduler == "euler"
+
+
+def test_default_steps_are_fifty():
+    """Both pipelines default to the reference's 50-step schedules
+    (text2img_sdm.py:22-28 / inpaint_sdm.py:52-56)."""
+    pipe = DiffusionPipeline("", inpaint=False, hw=(16, 16), tiny=True,
+                             dtype=jnp.float32)
+    assert pipe.num_steps == 50
+    assert pipe.scheduler == "euler"
+    pipe = DiffusionPipeline("", inpaint=True, hw=(16, 16), tiny=True,
+                             dtype=jnp.float32)
+    assert pipe.num_steps == 50
+    assert pipe.scheduler == "pndm"  # checkpoint default when absent

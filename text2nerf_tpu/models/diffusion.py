@@ -427,8 +427,10 @@ class EulerSchedule:
     sigmas: jnp.ndarray     # (S+1,) descending, last = 0
 
     @staticmethod
-    def create(num_steps: int, n_train: int = 1000):
-        betas = make_betas(n_train)
+    def create(num_steps: int, n_train: int = 1000,
+               beta_start=0.00085, beta_end=0.012, steps_offset: int = 0):
+        del steps_offset  # Euler's linspace spacing ignores the offset
+        betas = make_betas(n_train, beta_start, beta_end)
         alphas_cum = jnp.cumprod(1.0 - betas)
         all_sigmas = jnp.sqrt((1 - alphas_cum) / alphas_cum)
         ts = jnp.linspace(n_train - 1, 0, num_steps)
@@ -445,11 +447,17 @@ class EulerSchedule:
     def scale_model_input(self, x, i):
         return x / jnp.sqrt(self.sigmas[i] ** 2 + 1)
 
+    def init_state(self, latents):
+        return ()
+
     def step(self, eps, i, x):
         sigma = self.sigmas[i]
         pred_x0 = x - sigma * eps
         d = (x - pred_x0) / sigma
         return x + d * (self.sigmas[i + 1] - sigma)
+
+    def step_state(self, eps, i, x, state):
+        return self.step(eps, i, x), state
 
 
 @dataclasses.dataclass
@@ -458,10 +466,12 @@ class DDIMSchedule:
     alphas_cum: jnp.ndarray  # over train steps
 
     @staticmethod
-    def create(num_steps: int, n_train: int = 1000):
-        betas = make_betas(n_train)
+    def create(num_steps: int, n_train: int = 1000,
+               beta_start=0.00085, beta_end=0.012, steps_offset: int = 0):
+        betas = make_betas(n_train, beta_start, beta_end)
         step = n_train // num_steps
-        ts = (jnp.arange(num_steps) * step)[::-1]
+        ts = (jnp.arange(num_steps) * step + steps_offset)[::-1]
+        ts = jnp.clip(ts, 0, n_train - 1)
         return DDIMSchedule(timesteps=ts, alphas_cum=jnp.cumprod(1.0 - betas))
 
     @property
@@ -470,6 +480,9 @@ class DDIMSchedule:
 
     def scale_model_input(self, x, i):
         return x
+
+    def init_state(self, latents):
+        return ()
 
     def step(self, eps, i, x):
         t = self.timesteps[i]
@@ -481,6 +494,118 @@ class DDIMSchedule:
         a_prev = jnp.where(t_prev >= 0, self.alphas_cum[jnp.maximum(t_prev, 0)], 1.0)
         x0 = (x - jnp.sqrt(1 - a_t) * eps) / jnp.sqrt(a_t)
         return jnp.sqrt(a_prev) * x0 + jnp.sqrt(1 - a_prev) * eps
+
+    def step_state(self, eps, i, x, state):
+        return self.step(eps, i, x), state
+
+
+@dataclasses.dataclass
+class PNDMSchedule:
+    """PNDM (PLMS) scheduler with ``skip_prk_steps=True`` — the exact
+    configuration the SD checkpoints ship (scheduler_config.json:
+    PNDMScheduler, steps_offset=1, skip_prk_steps=true,
+    set_alpha_to_one=false); the reference inpaint pipeline runs it at the
+    checkpoint's 50-step default (/root/reference/scripts/inpaint_sdm.py:
+    52-56).
+
+    The diffusers implementation is stateful Python (an ``ets`` history
+    list, a ``counter``, a saved ``cur_sample``).  Re-designed for one
+    lax.fori_loop: the per-step Adams-Bashforth coefficients over
+    [current eps, 3-deep history] and the effective (t, t_prev) pairs are
+    precomputed host-side, so the loop body is branchless and carries a
+    fixed (3, ...) eps-history stack.  Runs ``num_steps + 1`` UNet
+    evaluations (the PLMS warm-up re-evaluates the second timestep) —
+    identical to diffusers.
+    """
+
+    timesteps: jnp.ndarray   # (S+1,) UNet eval timesteps, plms order
+    t_eff: jnp.ndarray       # (S+1,) effective t for the x-update
+    t_prev: jnp.ndarray      # (S+1,) effective previous t (< 0 at the end)
+    coeffs: jnp.ndarray      # (S+1, 4) weights over [eps, p1, p2, p3]
+    push: jnp.ndarray        # (S+1,) 1 = push eps into the history stack
+    use_saved: jnp.ndarray   # (S+1,) 1 = update from the saved cur_sample
+    save: jnp.ndarray        # (S+1,) 1 = save x as cur_sample
+    alphas_cum: jnp.ndarray  # (n_train,)
+
+    @staticmethod
+    def create(num_steps: int, n_train: int = 1000,
+               beta_start=0.00085, beta_end=0.012, steps_offset: int = 1):
+        import numpy as np
+
+        betas = make_betas(n_train, beta_start, beta_end)
+        ratio = n_train // num_steps
+        base = (np.arange(num_steps) * ratio).round().astype(np.int64)
+        base = base + steps_offset
+        # PLMS timestep list: drop the last, duplicate the second-to-last,
+        # append the last, reverse (PNDMScheduler.set_timesteps with
+        # skip_prk_steps)
+        plms = np.concatenate([base[:-1], base[-2:-1], base[-1:]])[::-1].copy()
+        s1 = len(plms)
+        t_eff = plms.copy()
+        t_prev = plms - ratio
+        if s1 > 1:
+            # counter==1: the warm-up re-evaluation steps from t+ratio to t
+            t_eff[1] = plms[1] + ratio
+            t_prev[1] = plms[1]
+        coeffs = np.zeros((s1, 4), np.float32)
+        coeffs[0] = (1.0, 0.0, 0.0, 0.0)
+        if s1 > 1:
+            coeffs[1] = (0.5, 0.5, 0.0, 0.0)
+        if s1 > 2:
+            coeffs[2] = (1.5, -0.5, 0.0, 0.0)
+        if s1 > 3:
+            coeffs[3] = (23 / 12, -16 / 12, 5 / 12, 0.0)
+        if s1 > 4:
+            coeffs[4:] = (55 / 24, -59 / 24, 37 / 24, -9 / 24)
+        push = np.ones(s1, np.float32)
+        use_saved = np.zeros(s1, np.float32)
+        save = np.zeros(s1, np.float32)
+        save[0] = 1.0
+        if s1 > 1:
+            push[1] = 0.0
+            use_saved[1] = 1.0
+        return PNDMSchedule(
+            timesteps=jnp.asarray(plms),
+            t_eff=jnp.asarray(t_eff),
+            t_prev=jnp.asarray(t_prev),
+            coeffs=jnp.asarray(coeffs),
+            push=jnp.asarray(push),
+            use_saved=jnp.asarray(use_saved),
+            save=jnp.asarray(save),
+            alphas_cum=jnp.cumprod(1.0 - betas),
+        )
+
+    @property
+    def init_noise_sigma(self):
+        return jnp.float32(1.0)
+
+    def scale_model_input(self, x, i):
+        return x
+
+    def init_state(self, latents):
+        zero = jnp.zeros_like(latents)
+        return {"hist": jnp.stack([zero, zero, zero]), "cur": zero}
+
+    def step_state(self, eps, i, x, state):
+        h = state["hist"]
+        c = self.coeffs[i]
+        e = c[0] * eps + c[1] * h[0] + c[2] * h[1] + c[3] * h[2]
+        sample = jnp.where(self.use_saved[i] > 0, state["cur"], x)
+        t = self.t_eff[i]
+        tp = self.t_prev[i]
+        a_t = self.alphas_cum[t]
+        # set_alpha_to_one=False → final_alpha_cumprod = alphas_cumprod[0]
+        a_prev = jnp.where(
+            tp >= 0, self.alphas_cum[jnp.maximum(tp, 0)], self.alphas_cum[0]
+        )
+        sample_coeff = jnp.sqrt(a_prev / a_t)
+        denom = a_t * jnp.sqrt(1 - a_prev) + jnp.sqrt(
+            a_t * (1 - a_t) * a_prev
+        )
+        x_new = sample_coeff * sample - (a_prev - a_t) * e / denom
+        new_hist = jnp.where(self.push[i] > 0, jnp.stack([eps, h[0], h[1]]), h)
+        new_cur = jnp.where(self.save[i] > 0, x, state["cur"])
+        return x_new, {"hist": new_hist, "cur": new_cur}
 
 
 # ---------------------------------------------------------------------------
@@ -506,7 +631,8 @@ def denoise_loop(
     n_steps = schedule.timesteps.shape[0]
     context = jnp.concatenate([context_uncond, context_cond], 0)
 
-    def body(i, x):
+    def body(i, carry):
+        x, state = carry
         inp = schedule.scale_model_input(x, i)
         if extra_channels is not None:
             inp = jnp.concatenate(
@@ -519,6 +645,8 @@ def denoise_loop(
         eps2 = unet.apply({"params": unet_params}, inp2, t, context)
         eps_u, eps_c = jnp.split(eps2, 2, axis=0)
         eps = eps_u + guidance_scale * (eps_c - eps_u)
-        return schedule.step(eps, i, x)
+        return schedule.step_state(eps, i, x, state)
 
-    return jax.lax.fori_loop(0, n_steps, body, latents * schedule.init_noise_sigma)
+    x0 = latents * schedule.init_noise_sigma
+    x, _ = jax.lax.fori_loop(0, n_steps, body, (x0, schedule.init_state(x0)))
+    return x

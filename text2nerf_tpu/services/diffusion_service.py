@@ -3,8 +3,10 @@
 TPU re-design of the reference wrappers
 (/root/reference/scripts/text2img_sdm.py:7-30 and
 /root/reference/scripts/inpaint_sdm.py:48-74): the whole denoise loop is one
-jit region (lax.fori_loop over Euler steps with classifier-free guidance at
-scale 7.5), the candidate batch (num_images_per_prompt=5,
+jit region (lax.fori_loop over the scheduler — EulerDiscrete for text2img,
+the checkpoint's shipped PNDM for inpainting, both at the 50-step pipeline
+default — with classifier-free guidance at scale 7.5), the candidate batch
+(num_images_per_prompt=5,
 inpaint_sdm.py:71-74) is a leading batch dimension that shards over the
 device mesh's data axis, and the VAE decode runs in the same program.
 
@@ -34,13 +36,36 @@ class DiffusionPipeline:
         inpaint: bool = False,
         hw=(512, 512),
         dtype=jnp.bfloat16,
-        num_steps: int = 25,
+        num_steps: Optional[int] = None,
         tiny: bool = False,
+        scheduler: str = "auto",
     ):
+        """``scheduler``: 'auto' resolves like the reference — text2img
+        overrides the checkpoint with EulerDiscrete (text2img_sdm.py:
+        16-28), inpainting runs the checkpoint's shipped scheduler
+        (inpaint_sdm.py:52-56: the SD-2-inpainting scheduler_config names
+        PNDMScheduler) — or pass 'euler' | 'pndm' | 'ddim' explicitly.
+        ``num_steps=None`` uses the diffusers 50-step pipeline default
+        both pipelines run in the reference."""
         self.hw = hw
         self.inpaint = inpaint
-        self.num_steps = num_steps
+        self.num_steps = 50 if num_steps is None else num_steps
         self.tiny = tiny
+        self.sched_cfg = self._load_scheduler_config(weights_path)
+        if scheduler == "auto":
+            if inpaint:
+                name = (self.sched_cfg or {}).get(
+                    "_class_name", "PNDMScheduler"
+                )
+                scheduler = {
+                    "PNDMScheduler": "pndm",
+                    "EulerDiscreteScheduler": "euler",
+                    "DDIMScheduler": "ddim",
+                }.get(name, "pndm")
+            else:
+                scheduler = "euler"
+        assert scheduler in ("euler", "pndm", "ddim"), scheduler
+        self.scheduler = scheduler
         if tiny:
             self.unet_cfg = D.UNetConfig.tiny()
             if inpaint:
@@ -77,6 +102,42 @@ class DiffusionPipeline:
         self._sample_jit = None
 
     # -- params ---------------------------------------------------------------
+
+    @staticmethod
+    def _load_scheduler_config(weights_path: str):
+        """The diffusers ``scheduler/scheduler_config.json`` from the
+        checkpoint dir (class name + beta schedule + steps_offset), or
+        None when absent — scheduler selection then falls back to the
+        reference's per-pipeline defaults."""
+        import json
+
+        if not weights_path or not os.path.isdir(weights_path):
+            return None
+        p = os.path.join(weights_path, "scheduler", "scheduler_config.json")
+        if not os.path.isfile(p):
+            return None
+        try:
+            with open(p, encoding="utf-8") as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
+
+    def _make_schedule(self):
+        cfg = self.sched_cfg or {}
+        kw = dict(
+            n_train=int(cfg.get("num_train_timesteps", 1000)),
+            beta_start=float(cfg.get("beta_start", 0.00085)),
+            beta_end=float(cfg.get("beta_end", 0.012)),
+        )
+        if self.scheduler == "pndm":
+            return D.PNDMSchedule.create(
+                self.num_steps, steps_offset=int(cfg.get("steps_offset", 1)),
+                **kw)
+        if self.scheduler == "ddim":
+            return D.DDIMSchedule.create(
+                self.num_steps, steps_offset=int(cfg.get("steps_offset", 0)),
+                **kw)
+        return D.EulerSchedule.create(self.num_steps, **kw)
 
     @staticmethod
     def _load_tokenizer(weights_path: str):
@@ -152,7 +213,7 @@ class DiffusionPipeline:
     # -- sampling -----------------------------------------------------------------
 
     def _build_sampler(self, batch: int):
-        sched = D.EulerSchedule.create(self.num_steps)
+        sched = self._make_schedule()
 
         # candidate batch shards over the mesh's data axis (the reference
         # generates num_images_per_prompt=5 candidates serially on one GPU,
