@@ -75,6 +75,11 @@ def test_pipeline_writes_artifacts(e2e_run):
         assert os.path.isdir(os.path.join(dibr, sub)), sub
     assert os.path.isfile(os.path.join(dibr, "rgbs", "00001.png"))
     assert os.path.isfile(os.path.join(logfolder, "metrics.jsonl"))
+    # support-split preview renders at stage boundaries
+    # (imgs_vis_support_view, text2nerf_main.py:619-621)
+    sup = os.path.join(logfolder, "imgs_vis_support_view", "rgbs")
+    assert os.path.isdir(sup), "support-view eval renders missing"
+    assert any(f.endswith("_rgb.png") for f in os.listdir(sup))
 
 
 def test_checkpoint_roundtrip(e2e_run):

@@ -124,13 +124,16 @@ def align_depth_pair(
 
 
 def _update_known_views(
-    view_idx, scene, services, ex, img_new, depth_new, my_map_f, seed
+    view_idx, scene, services, ex, img_new, depth_new, my_map_f, seed,
+    logdir=None,
 ):
     """Warp the freshly inpainted content back into the previous views and
     rebuild their ray pools (text2nerf_main.py:300-377): per known view,
     composite the warped content where this view had no coverage,
     re-estimate + merge depth on the updated image, regenerate its support
-    pools from the inpaint mask."""
+    pools from the inpaint mask.  With ``logdir`` the per-view
+    pre/post-warp artifacts are written under
+    ``DIBR/rgbs_support/%05d_warp2known/`` (text2nerf_main.py:320-326)."""
     h, w = scene.hw
     inv_mask = 1.0 - my_map_f
     pose_new = scene.poses_gen[view_idx]
@@ -150,6 +153,17 @@ def _update_known_views(
         mask = np.asarray(masks_w[ii], np.float32)
         if mask.sum() < 1:
             continue
+        if logdir is not None:
+            sup = os.path.join(
+                logdir, "DIBR", "rgbs_support", "%05d_warp2known" % view_idx
+            )
+            _write(os.path.join(sup, "%05d_image_pre.png" % ii), rgbs_gen[ii])
+            _write(os.path.join(sup, "%05d_image_warp.png" % ii),
+                   np.asarray(rgbs_w[ii]))
+            _write(os.path.join(sup, "%05d_depth_pre.png" % ii),
+                   depth_gen[ii] * 12000)
+            _write(os.path.join(sup, "%05d_depth_warp.png" % ii),
+                   np.asarray(depth_w[ii]) * 12000)
         img = rgbs_gen[ii] * (1 - mask[..., None]) + np.asarray(
             rgbs_w[ii]
         ) * mask[..., None]
@@ -386,7 +400,8 @@ def expand_scene(
     #         OFF in the production configuration, :658)
     if ex.update_known_views and view_idx > 0:
         scene = _update_known_views(
-            view_idx, scene, services, ex, img_new, depth_new, my_map_f, seed
+            view_idx, scene, services, ex, img_new, depth_new, my_map_f, seed,
+            logdir=logdir,
         )
 
     if ex.use_support_set:

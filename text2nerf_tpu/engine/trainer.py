@@ -66,6 +66,9 @@ class TrainConfig:
                                      # text2nerf_main.py:629-634)
     n_stage3: int = 10               # stage-3 epochs (text2nerf_main.py:468)
     n_vis: int = -1                  # --N_vis eval view subsampling
+    vis_support_views: bool = True   # boundary preview renders of the
+                                     # support split (text2nerf_main.py:
+                                     # 619-621, evaluation preview=True)
     progress_refresh_rate: int = 50  # scalar-log cadence (e_opt.py:10)
     l1_weight_rest: float = 0.0      # --L1_weight_rest: L1 weight after the
                                      # first alpha-mask update (TensoRF rule)
@@ -453,8 +456,29 @@ def reconstruction(
             )
             or epoch + 1 == cfg.n_stage1
         )
-        if boundary and scene.rgbs_gen_split.shape[0] > 0:
+        if boundary:
             eval_mask = rebuild_eval_mask()
+        # support-view preview renders (evaluation(preview=True) over
+        # all_rays_sprt_split, renderer.py:63-67 + text2nerf_main.py:
+        # 619-621): no ground truth, written to imgs_vis_support_view
+        if (
+            boundary
+            and cfg.vis_support_views
+            and scene.rays_support_split is not None
+            and len(scene.rays_support_split) > 0
+        ):
+            eval_renderer.evaluation(
+                mcfg, state.params, aabb, scene.rays_support_split,
+                scene.hw, n_samples=n_samples, gt_rgbs=None,
+                save_path=os.path.join(logfolder, "imgs_vis_support_view"),
+                prefix=f"epoch{epoch + 1:04d}_", chunk=cfg.batch_size,
+                app_k=cfg.app_k, white_bg=white_bg, ndc=cfg.ndc_ray,
+                push_depth=scene_cfg.push_depth, near_far=scene.near_far,
+                alpha_mask=eval_mask,
+                compact_k=cfg.eval_compact_k if eval_mask is not None else 0,
+                n_vis=cfg.n_vis,
+            )
+        if boundary and scene.rgbs_gen_split.shape[0] > 0:
             res = eval_renderer.evaluation(
                 mcfg, state.params, aabb,
                 scene.rays_gen_split[: scene.rgbs_gen_split.shape[0]],
