@@ -1,0 +1,52 @@
+"""Async artifact writer: completion on flush, dtype conversions, error
+propagation (engine/io_async)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from text2nerf_tpu.engine.io_async import AsyncArtifactWriter
+
+
+def test_writes_complete_on_flush(tmp_path):
+    w = AsyncArtifactWriter()
+    rgb = np.random.default_rng(0).uniform(0, 1, (16, 16, 3)).astype(np.float32)
+    depth = np.full((16, 16), 24000.0, np.float32)
+    w.write(str(tmp_path / "a" / "rgb.png"), rgb)
+    w.write(str(tmp_path / "a" / "depth.png"), depth)
+    w.flush()
+    import imageio.v2 as imageio
+
+    got = imageio.imread(str(tmp_path / "a" / "rgb.png"))
+    assert got.dtype == np.uint8 and got.shape == (16, 16, 3)
+    np.testing.assert_array_equal(
+        got, (np.clip(rgb, 0, 1) * 255).astype(np.uint8)
+    )
+    d = imageio.imread(str(tmp_path / "a" / "depth.png"))
+    assert d.dtype == np.uint16 and int(d[0, 0]) == 24000
+
+
+def test_buffer_copied_at_enqueue(tmp_path):
+    w = AsyncArtifactWriter()
+    arr = np.zeros((8, 8, 3), np.float32)
+    w.write(str(tmp_path / "x.png"), arr)
+    arr[:] = 1.0  # caller mutates after enqueue — must not affect output
+    w.flush()
+    import imageio.v2 as imageio
+
+    assert imageio.imread(str(tmp_path / "x.png")).max() == 0
+
+
+def test_errors_surface_on_flush(tmp_path):
+    w = AsyncArtifactWriter()
+    # unwritable target: path is under an existing FILE
+    blocker = tmp_path / "blocker"
+    blocker.write_text("x")
+    w.write(str(blocker / "sub" / "y.png"), np.zeros((4, 4, 3), np.float32))
+    with pytest.raises(Exception):
+        w.flush()
+    # writer recovers after the error
+    w.write(str(tmp_path / "ok.png"), np.zeros((4, 4, 3), np.float32))
+    w.flush()
+    assert os.path.isfile(tmp_path / "ok.png")

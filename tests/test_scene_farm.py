@@ -160,3 +160,82 @@ def test_progressive_runner_farms_full_scenes(tmp_path):
     # idempotent: second pass served from markers (wall unchanged)
     r2 = farm.run_farm(prompts, str(tmp_path / "d"), str(tmp_path / "l"), run)
     assert r2[0]["wall_s"] == r[0]["wall_s"]
+
+
+def test_run_farm_parallel_eight_scenes(tmp_path):
+    """VERDICT r2 item 2: EIGHT full progressive scenes through the
+    intra-host parallel farm on the virtual 8-device mesh — every scene
+    pinned to its own device, per-phase timings recorded, results
+    idempotent.  (On real chips the device wall is ≈ the slowest scene;
+    the hermetic CPU run validates structure: distinct per-scene devices
+    and complete per-phase logs.)"""
+    import jax
+
+    from text2nerf_tpu.data import scene_state as ss
+    from text2nerf_tpu.engine import expansion, trainer
+    from text2nerf_tpu.models import tensorf as tf
+    from text2nerf_tpu.services import fallbacks
+    from text2nerf_tpu.services.merge import DepthMergeService
+    from text2nerf_tpu.services.registry import Services
+
+    hw = (24, 24)
+    scene_cfg = ss.SceneConfig(
+        datadir="", prompt="", pose_traj="circle0_60", num_training=2, hw=hw,
+        num_filter_iter=2, filter_size=(3, 3),
+    )
+    train_cfg = trainer.TrainConfig(
+        expname="pfarm", basedir="", n_stage1=1, n_stage2=1, n_stage3=1,
+        batch_size=256, n_voxel_init=16 ** 3, app_k=8,
+        eval_every_epochs=10 ** 6, seed=5,
+        model=tf.TensoRFConfig(
+            density_n_comp=(2, 2, 2), app_n_comp=(4, 4, 4), app_dim=6,
+            fea_pe=2, feature_c=16,
+        ),
+    )
+    exp_cfg = expansion.ExpansionConfig(
+        prompt="", n_candidates=1, candidates_per_round=1, merge_iters=2,
+        chunk=256, app_k=8,
+    )
+
+    def services_factory():
+        # fresh bundle per scene: stateful merge nets must not be shared
+        # across concurrent scene threads
+        return Services(
+            text2img=lambda p, n="": fallbacks.procedural_text2img(
+                p, n, hw=hw),
+            inpaint=fallbacks.diffusion_fill_inpaint,
+            estimate_depth=fallbacks.procedural_depth,
+            rank=fallbacks.histogram_rank,
+            merge=DepthMergeService(net_size=64, num_downs=6),
+        )
+
+    run = farm.progressive_runner(
+        train_cfg, scene_cfg, None, exp_cfg,
+        services_factory=services_factory,
+    )
+    prompts = [f"tiny room {i}" for i in range(8)]
+    results = farm.run_farm_parallel(
+        prompts, str(tmp_path / "d"), str(tmp_path / "l"), run,
+        devices=jax.devices(),
+    )
+    assert len(results) == 8
+    devices_used = {r["device"] for r in results}
+    assert len(devices_used) == 8, devices_used  # one scene per device
+    for res in results:
+        assert res["views"] == 2
+        assert all(np.isfinite(p) for p in res["per_view_psnr"])
+        # per-phase device-utilization record (phase/expand_view_*_s etc.)
+        mpath = os.path.join(res["logfolder"], "metrics.jsonl")
+        phases = [
+            json.loads(l) for l in open(mpath) if "phase/" in l
+        ]
+        assert any(
+            any(k.startswith("phase/expand_view") for k in p)
+            for p in phases
+        ), f"no expansion phase timing in {mpath}"
+    # second pass is served from completion markers (idempotent)
+    r2 = farm.run_farm_parallel(
+        prompts, str(tmp_path / "d"), str(tmp_path / "l"), run,
+        devices=jax.devices(),
+    )
+    assert r2[0]["wall_s"] == results[0]["wall_s"]

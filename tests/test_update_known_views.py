@@ -89,6 +89,9 @@ def test_update_known_views_writes_support_artifacts(tmp_path):
         1, scene, services, exp_cfg, img_new, depth_new, my_map_f,
         seed=0, logdir=str(tmp_path / "log"),
     )
+    from text2nerf_tpu.engine import io_async
+
+    io_async.flush()  # artifact writes are async; the trainer flushes
     assert np.isfinite(out.depth_gen_split).all()
     sup = os.path.join(str(tmp_path / "log"), "DIBR", "rgbs_support",
                        "00001_warp2known")

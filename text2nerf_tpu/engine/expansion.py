@@ -26,16 +26,12 @@ from ..services.registry import Services
 
 
 def _write(path, arr):
-    import imageio.v2 as imageio
+    """Artifact write — asynchronous (engine/io_async): the PNG encode and
+    disk IO leave the critical path between device phases; the trainer
+    flushes before returning so callers always observe complete trees."""
+    from . import io_async
 
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    a = np.asarray(arr)
-    if a.dtype in (np.float32, np.float64):
-        if a.max() <= 1.5:
-            a = (np.clip(a, 0, 1) * 255).astype(np.uint8)
-        else:
-            a = np.clip(a, 0, 65535).astype(np.uint16)
-    imageio.imwrite(path, a)
+    io_async.write_async(path, np.asarray(arr))
 
 
 def global_depth_alignment(

@@ -98,6 +98,7 @@ def make_train_step(
     density_group: int = 1,
     density_block: int = 4,
     microbatch: int = 1,
+    compute_dtype: str = "fp32",
 ):
     """Build the jitted train step.
 
@@ -122,6 +123,11 @@ def make_train_step(
     ``tensorf.grouping_block(aabb, reso, step_ratio)`` returns a nonzero
     ``density_block`` (out-of-block spans silently read 0) — callers must
     check before enabling; the trainer does.
+
+    ``compute_dtype='bf16'`` runs the factor-gather value/lerp math (and
+    its backward) in bfloat16 — index math, compositing, losses, params,
+    and Adam state all stay fp32 (a mixed-precision option; the gather/
+    scatter costs are row-count-bound, so expect modest gains at most).
 
     ``microbatch=R`` accumulates gradients over R equal sub-batches inside
     one lax.scan (HLO temp memory scales with B/R; scatter row count — the
@@ -150,6 +156,7 @@ def make_train_step(
             ndc=ndc,
             density_group=1 if ndc else density_group,
             density_block=density_block,
+            feature_dtype=compute_dtype,
         )
         depth_map = jnp.nan_to_num(out.depth)  # text2nerf_main.py:559-560
 

@@ -30,6 +30,7 @@ from ..ops import render as render_ops
 from ..services.registry import Services, default_services
 from . import checkpoints as ckpt
 from . import expansion as exp
+from . import io_async
 from . import renderer as eval_renderer
 from . import train_step as ts
 from .tracing import MetricsLogger, phase_timer
@@ -90,6 +91,15 @@ class TrainConfig:
     # temp memory; gradient equals the full batch up to fp reassociation.
     # The effective value is clamped to the largest divisor of batch_size.
     train_microbatch: int = 32
+    # TPU-native extension: grouped density gathers — G ray-consecutive
+    # samples share one gathered (fwd) / scattered (bwd) table row.  The
+    # round-3 weighted-contraction extraction made G=2 the fastest train
+    # path (689 → 529 ms/step at production config, PERF.md); guarded per
+    # grid by tensorf.grouping_block, 1 disables.
+    train_density_group: int = 2
+    # 'bf16' runs the factor gather/lerp math of the train forward+backward
+    # in bfloat16 (index math, losses, params, Adam all fp32)
+    train_compute_dtype: str = "fp32"
     seed: int = 1024
     model: tf.TensoRFConfig = dataclasses.field(default_factory=tf.TensoRFConfig)
     # TensoRF coarse-to-fine machinery (upsamp_list / update_AlphaMask_list,
@@ -101,6 +111,10 @@ class TrainConfig:
     upsamp_list: Tuple[int, ...] = ()
     update_alphamask_list: Tuple[int, ...] = ()
     lr_upsample_reset: bool = True
+    # additionally checkpoint every N epochs (0 = stage boundaries only):
+    # long stages (the reference's 50-epoch stage 1 is ~1 h at production
+    # size) survive interruptions without losing the whole stage
+    resume_every_epochs: int = 0
     # mid-scene resume: checkpoint params + loop state + a scene snapshot at
     # every stage boundary; a crashed run restarts from the last completed
     # view (the reference can only restart from scratch, SURVEY §5)
@@ -225,13 +239,27 @@ def reconstruction(
         l1=cfg.l1_weight, ortho=cfg.ortho_weight,
     )
     def make_step(tx):
-        # density_group stays 1: grouped gathers measured SLOWER end-to-end
-        # (PERF.md round 2 — the select glue outweighs the scatter-row
-        # saving); the grouped path remains available as an opt-in.
+        # grouped density gathers: the round-3 weighted-contraction
+        # extraction made them the fastest train path (689 → 529 ms/step
+        # at the production config, PERF.md) — one gathered/scattered row
+        # serves ``train_density_group`` ray-consecutive samples.  Guarded
+        # by grouping_block on the CURRENT aabb/reso (re-evaluated here
+        # because make_step is rebuilt at upsample/shrink milestones);
+        # falls back to per-sample gathers when the drift bound fails.
+        group, block = 1, 4
+        if cfg.train_density_group > 1 and not cfg.ndc_ray:
+            b = tf.grouping_block(
+                aabb, tf.grid_resolution(mcfg, state.params),
+                mcfg.step_ratio, group=cfg.train_density_group,
+            )
+            if b:
+                group, block = cfg.train_density_group, b
         return ts.make_train_step(
             mcfg, tx, n_samples=n_samples, app_k=cfg.app_k,
             white_bg=white_bg, ndc=cfg.ndc_ray, weights=weights,
             depth_loss_type=cfg.depth_loss_type,
+            density_group=group, density_block=block,
+            compute_dtype=cfg.train_compute_dtype,
             microbatch=ts.effective_microbatch(
                 cfg.batch_size, cfg.train_microbatch
             ),
@@ -266,11 +294,68 @@ def reconstruction(
     n_iters_epoch = n_iters_epoch1
     global_step = 0
     start_epoch = 0
+    stage_step = 0  # optimizer steps since the last state/schedule reset
     if resume_state is not None:
         start_epoch = int(resume_state["epoch"])
         view_idx = int(resume_state["next_view"]) - 1
         tv_decay = float(resume_state.get("tv_decay", 1.0))
         global_step = int(resume_state.get("global_step", 0))
+        stage_step = int(resume_state.get("stage_step", 0))
+        # Mid-stage resume (periodic resume_every_epochs checkpoints):
+        # start_epoch is NOT a stage boundary, so the loop below will not
+        # rebuild the pools/optimizer — reconstruct the in-flight stage's
+        # state here.  The LR schedule restarts from lr·factor^stage_step
+        # (the decay already applied); Adam moments restart (they rebuild
+        # within ~100 steps).
+        at_boundary = (
+            cfg.n_stage2 > 0
+            and start_epoch >= cfg.n_stage1
+            and (start_epoch - cfg.n_stage1) % cfg.n_stage2 == 0
+            and start_epoch < n_total
+        )
+        if start_epoch > 0 and not at_boundary:
+            if start_epoch >= n_total:  # stage 3: every view's pool folded
+                allp = [
+                    scene.updates["%05d" % nn] for nn in range(view_idx + 1)
+                ]
+                pool_pre = tuple(np.concatenate(x, 0) for x in zip(*allp))
+                pool_new, sampler_new = None, None
+                n_iters_epoch = _epoch_iters(len(pool_pre[0]), cfg.batch_size)
+                decay_iters = n_iters_epoch * max(cfg.n_stage3, 1)
+            elif start_epoch > cfg.n_stage1 and cfg.n_stage2 > 0:
+                # mid-stage-2 for view view_idx
+                prev = [scene.updates["%05d" % nn] for nn in range(view_idx)]
+                pool_pre = tuple(np.concatenate(x, 0) for x in zip(*prev))
+                pool_new = scene.updates["%05d" % view_idx]
+                sampler_new = (
+                    ts.PermutationSampler(
+                        len(pool_new[0]), cfg.batch_size,
+                        cfg.seed + start_epoch + 1,
+                    )
+                    if len(pool_new[0]) > 0
+                    else None
+                )
+                n_iters_epoch = (
+                    _epoch_iters(len(pool_new[0]), cfg.batch_size)
+                    + n_iters_epoch1
+                )
+                decay_iters = n_iters_epoch * cfg.n_stage2
+            else:
+                # mid-stage-1: pools already correct; keep stage-1 decay
+                decay_iters = (
+                    cfg.lr_decay_iters if cfg.lr_decay_iters > 0
+                    else (n_iters_stage1 if n_iters_stage1 > 0 else 1000)
+                )
+            factor = ts.lr_factor(cfg.lr_decay_target_ratio, decay_iters)
+            resumed_decay = factor ** stage_step
+            sampler_pre = ts.PermutationSampler(
+                len(pool_pre[0]), cfg.batch_size, cfg.seed + start_epoch
+            )
+            state, tx = ts.make_train_state(
+                state.params, cfg.lr_init * resumed_decay,
+                cfg.lr_basis * resumed_decay, factor,
+            )
+            step_fn = make_step(tx)
 
     for epoch in range(start_epoch, n_total + cfg.n_stage3):
         # --- stage-boundary: expand the scene ------------------------------
@@ -330,6 +415,7 @@ def reconstruction(
                 state.params, cfg.lr_init, cfg.lr_basis, factor
             )
             step_fn = make_step(tx)
+            stage_step = 0
         elif epoch == n_total and pool_new is not None:
             # stage 3: fold the last view's pool in (text2nerf_main.py:529-536)
             pool_pre = tuple(
@@ -346,6 +432,7 @@ def reconstruction(
                 state.params, cfg.lr_init, cfg.lr_basis, factor
             )
             step_fn = make_step(tx)
+            stage_step = 0
 
         # --- epoch ----------------------------------------------------------
         for it in range(n_iters_epoch):
@@ -377,6 +464,7 @@ def reconstruction(
                         cfg.lr_basis * tv_decay, factor,
                     )
                 step_fn = make_step(tx)
+                stage_step = 0
             if (
                 cfg.update_alphamask_list
                 and global_step in cfg.update_alphamask_list
@@ -405,6 +493,7 @@ def reconstruction(
                     # e_opt.py:72-73)
                     weights = weights._replace(l1=cfg.l1_weight_rest)
                     step_fn = make_step(tx)
+                    stage_step = 0
                 # refilter the ray pools through the fresh mask — the
                 # alpha branch of filtering_rays (tensorBase.py:372-404):
                 # rays that never touch occupied space stop consuming
@@ -441,6 +530,7 @@ def reconstruction(
             state, metrics = step_fn(state, aabb, batch, k, tv_decay)
             tv_decay *= factor
             global_step += 1
+            stage_step += 1
             if global_step % max(cfg.progress_refresh_rate, 1) == 0:
                 log.scalars(
                     global_step,
@@ -494,6 +584,29 @@ def reconstruction(
             )
             if res["psnr"]:
                 log.scalars(global_step, {"eval_psnr": float(np.mean(res["psnr"]))})
+
+        # --- periodic mid-stage resume checkpoint ---------------------------
+        # (resume_every_epochs; the stage-boundary saves above cover view
+        # transitions — this bounds the loss from an interruption inside a
+        # long stage to N epochs)
+        if (
+            cfg.resume
+            and cfg.resume_every_epochs > 0
+            and (epoch + 1) % cfg.resume_every_epochs == 0
+            and epoch + 1 < n_total + cfg.n_stage3
+        ):
+            ss.save_scene_snapshot(resume_snap, scene)
+            loop_state = {
+                "epoch": epoch + 1, "next_view": view_idx + 1,
+                "tv_decay": tv_decay, "global_step": global_step,
+                "stage_step": stage_step,
+            }
+            if orbax:
+                ckpt.save_orbax(resume_ckpt, mcfg, state.params, aabb,
+                                loop_state=loop_state)
+            else:
+                ckpt.save_checkpoint(resume_ckpt, mcfg, state.params,
+                                     aabb, loop_state=loop_state)
 
     # final mask: saved into the checkpoint (tensorBase.py:275-283 packs it)
     # and used by the final render passes below
@@ -552,6 +665,9 @@ def reconstruction(
                 alpha_mask=eval_mask, compact_k=final_compact_k,
             )
 
+    # drain asynchronous DIBR artifact writes before handing the log tree
+    # to the caller (engine/io_async)
+    io_async.flush()
     return mcfg, state.params, aabb, scene, logfolder
 
 

@@ -87,8 +87,82 @@ def run_farm(
     return results
 
 
+def run_farm_parallel(
+    prompts: Sequence[str],
+    base_datadir: str,
+    base_logdir: str,
+    run: Callable[[FarmJob], dict],
+    devices=None,
+    force: bool = False,
+) -> List[dict]:
+    """Intra-host scene parallelism for the FULL pipeline: one worker
+    thread per device, each scene pinned to its own chip via
+    ``jax.default_device``.
+
+    Every jit program a scene issues — train steps, expansion renders,
+    diffusion candidate batches, merge finetunes — dispatches to that
+    scene's device, so the host drives all chips concurrently and the
+    device wall-clock is ≈ the slowest scene, not the sum (the serial
+    residue is the host-side share: bootstrap numpy work and the GIL).
+    This is the threads+devices answer to the reference's
+    process-per-GPU launcher (auto_run_paramsets.py:160-207) at full
+    pipeline depth — run_farm() strides scenes across HOSTS; this
+    parallelizes them WITHIN a host (BASELINE config #5 on one v5e-8).
+
+    ``run`` must be thread-reentrant: anything stateful (services,
+    merge nets) must be constructed inside it, per job — see
+    progressive_runner(services_factory=...).
+
+    Returns results in prompt order; each carries its device and
+    wall_s (per-phase timings live in the scene's metrics.jsonl).
+    """
+    import queue
+    import threading
+
+    devices = list(devices if devices is not None else jax.local_devices())
+    jobq: "queue.Queue" = queue.Queue()
+    for i, prompt in enumerate(prompts):
+        jobq.put((i, prompt))
+    results: List[Optional[dict]] = [None] * len(prompts)
+    errors: List[BaseException] = []
+
+    def worker(dev):
+        while True:
+            try:
+                i, prompt = jobq.get_nowait()
+            except queue.Empty:
+                return
+            tag = f"scene{i:03d}_{prompt.replace(' ', '_')[:48]}"
+            job = FarmJob(
+                prompt=prompt,
+                datadir=os.path.join(base_datadir, tag),
+                logdir=os.path.join(base_logdir, tag),
+            )
+            try:
+                with jax.default_device(dev):
+                    out = claim_and_run(job, run, force=force)
+                out = dict(out or {})
+                out["device"] = str(dev)
+                results[i] = out
+            except BaseException as e:  # noqa: BLE001 — surfaced below
+                errors.append(e)
+                return
+
+    threads = [
+        threading.Thread(target=worker, args=(d,), daemon=True)
+        for d in devices[: max(1, min(len(devices), len(prompts)))]
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errors:
+        raise errors[0]
+    return [r for r in results if r is not None]
+
+
 def progressive_runner(train_cfg, scene_cfg, services, exp_cfg,
-                       eval_views: bool = True):
+                       eval_views: bool = True, services_factory=None):
     """Build a ``run(job)`` executing the FULL progressive text→3D
     pipeline (engine.trainer.reconstruction) for each farm job, with the
     job's prompt/datadir/logdir substituted into the base configs.
@@ -97,7 +171,11 @@ def progressive_runner(train_cfg, scene_cfg, services, exp_cfg,
     generation → depth → progressive warp/inpaint/align expansion → the
     3-stage schedule, exactly like the single-scene entry point — the
     multi-scene answer to BASELINE config #5 at full pipeline depth.
-    Returns per-view reconstruction PSNRs in the completion marker."""
+    Returns per-view reconstruction PSNRs in the completion marker.
+
+    ``services_factory`` (0-arg callable) builds a FRESH services bundle
+    per job — required with run_farm_parallel, where concurrent scenes
+    must not share stateful services (merge-net finetune state)."""
     import dataclasses as dc
 
     def run(job: FarmJob) -> dict:
@@ -108,11 +186,14 @@ def progressive_runner(train_cfg, scene_cfg, services, exp_cfg,
         from ..engine import trainer
         from ..models import tensorf as tf
 
+        job_services = (
+            services_factory() if services_factory is not None else services
+        )
         s_cfg = dc.replace(scene_cfg, prompt=job.prompt, datadir=job.datadir)
         t_cfg = dc.replace(train_cfg, basedir=job.logdir)
         e_cfg = dc.replace(exp_cfg, prompt=job.prompt)
         mcfg, params, aabb, scene, logfolder = trainer.reconstruction(
-            t_cfg, s_cfg, services, e_cfg
+            t_cfg, s_cfg, job_services, e_cfg
         )
         out = {"logfolder": logfolder,
                "views": int(scene.poses_gen.shape[0])}

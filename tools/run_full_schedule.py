@@ -1,0 +1,123 @@
+"""Full-schedule production-size quality run (VERDICT r3 item 3).
+
+Runs the reference's COMPLETE schedule — n_stage1=50, n_stage2=50 per
+generated view, n_stage3=10 (e_opt.py:26-28, text2nerf_main.py:468) — at
+the production configuration (512², 300³ grid, batch 16384, circle
+trajectory) with the procedural priors, mid-run resume enabled, and
+records per-view PSNR/SSIM + wall clock as ONE JSON line (also appended
+to --report).
+
+Designed to survive tunnel flaps: re-running the same command resumes
+from the last stage-boundary checkpoint (TrainConfig.resume) — wrap in a
+retry loop:
+
+  for i in $(seq 1 20); do
+      python tools/run_full_schedule.py --out /tmp/fullsched && break
+      sleep 120
+  done
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default="/tmp/text2nerf_fullsched")
+    p.add_argument("--prompt", default="a beautiful garden with flowers")
+    p.add_argument("--hw", type=int, default=512)
+    p.add_argument("--views", type=int, default=4)
+    p.add_argument("--grid", type=int, default=300)
+    p.add_argument("--stages", type=int, nargs=3, default=(50, 50, 10))
+    p.add_argument("--candidates", type=int, default=4)
+    p.add_argument("--pose_traj", default="circle0_60")
+    p.add_argument("--report", default="")
+    p.add_argument("--eval_every", type=int, default=10 ** 6,
+                   help="epoch interval for intermediate evals (default: "
+                        "stage boundaries only)")
+    args = p.parse_args(argv)
+
+    from text2nerf_tpu.data import scene_state as ss
+    from text2nerf_tpu.engine import expansion, trainer
+    from text2nerf_tpu.utils.compilation_cache import (
+        enable_persistent_compilation_cache,
+    )
+
+    enable_persistent_compilation_cache()
+    hw = (args.hw, args.hw)
+    scene_cfg = ss.SceneConfig(
+        datadir=os.path.join(args.out, "data"),
+        prompt=args.prompt, pose_traj=args.pose_traj,
+        num_training=args.views, hw=hw,
+    )
+    train_cfg = trainer.TrainConfig(
+        expname="fullsched", basedir=os.path.join(args.out, "log"),
+        n_stage1=args.stages[0], n_stage2=args.stages[1],
+        n_stage3=args.stages[2], batch_size=16384,
+        n_voxel_init=args.grid ** 3,
+        eval_every_epochs=args.eval_every, seed=7,
+        resume=True, resume_every_epochs=5, vis_support_views=False,
+    )
+    exp_cfg = expansion.ExpansionConfig(
+        prompt=args.prompt, n_candidates=args.candidates,
+        candidates_per_round=args.candidates, merge_iters=100,
+    )
+    from text2nerf_tpu.services.registry import default_services
+
+    services = default_services(
+        weights_dir=None, hw=hw, merge_net_size=256, merge_num_downs=8
+    )
+
+    t0 = time.time()
+    mcfg, params, aabb, scene, logfolder = trainer.reconstruction(
+        train_cfg, scene_cfg, services, exp_cfg
+    )
+    wall_min = (time.time() - t0) / 60.0
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from text2nerf_tpu.engine import metrics as M
+    from text2nerf_tpu.engine import renderer as R
+    from text2nerf_tpu.models import tensorf as tf
+
+    res = R.evaluation(
+        mcfg, params, jnp.asarray(aabb), scene.rays_gen_split, scene.hw,
+        n_samples=tf.default_n_samples(
+            tf.grid_resolution(mcfg, params), mcfg.step_ratio
+        ),
+        gt_rgbs=scene.rgbs_gen_split, chunk=16384, app_k=48,
+    )
+    ssims = [
+        float(M.ssim(r.astype(np.float32) / 255.0,
+                     np.asarray(scene.rgbs_gen_split[i]), 1.0))
+        for i, r in enumerate(res["rgb"])
+    ]
+    summary = {
+        "status": "ok",
+        "schedule": list(args.stages),
+        "hw": args.hw, "grid": args.grid, "views": args.views,
+        "wall_min_this_attempt": round(wall_min, 2),
+        "per_view_psnr": [round(float(x), 2) for x in res["psnr"]],
+        "per_view_ssim": [round(s, 3) for s in ssims],
+        "mean_psnr": round(float(np.mean(res["psnr"])), 2),
+        "mean_ssim": round(float(np.mean(ssims)), 3),
+        "logfolder": logfolder,
+    }
+    line = json.dumps(summary)
+    print(line, flush=True)
+    if args.report:
+        with open(args.report, "a") as f:
+            f.write(line + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
