@@ -169,9 +169,22 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval_compact_k", type=int, default=64,
                    help="alpha-mask sample compaction for eval renders "
                    "(0 = dense path)")
+    p.add_argument("--train_density_group", type=int, default=2,
+                   help="TPU-native: ray-consecutive samples per grouped "
+                   "density gather/scatter row (1 = per-sample; PERF.md)")
+    p.add_argument("--train_microbatch", type=int, default=32,
+                   help="TPU-native: gradient micro-batch count inside the "
+                   "jitted train step (PERF.md)")
+    p.add_argument("--train_compute_dtype", type=str, default="fp32",
+                   choices=("fp32", "bf16"),
+                   help="feature gather/lerp dtype in the train step "
+                   "(bf16 measured slower on v5e; PERF.md)")
     p.add_argument("--export_mesh", type=int, default=0)
     p.add_argument("--resume", type=int, default=0,
                    help="resume a crashed run from the last stage boundary")
+    p.add_argument("--resume_every_epochs", type=int, default=0,
+                   help="additionally checkpoint every N epochs so long "
+                   "stages survive interruptions (0 = boundaries only)")
     # expansion
     p.add_argument("--frame_select_type", type=str, default="auto_cos")
     p.add_argument("--use_filter_filling_holes",
@@ -240,6 +253,10 @@ def to_configs(args):
         lr_upsample_reset=bool(args.lr_upsample_reset),
         l1_weight_rest=args.L1_weight_rest,
         add_timestamp=bool(args.add_timestamp),
+        train_density_group=args.train_density_group,
+        train_microbatch=args.train_microbatch,
+        train_compute_dtype=args.train_compute_dtype,
+        resume_every_epochs=args.resume_every_epochs,
         seed=args.seed, model=model,
     )
     scene = SceneConfig(
