@@ -149,3 +149,33 @@ def test_grouped_grads_match():
     g2 = jax.grad(lambda p: loss(p, 2))(params)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_line_hat_matmul_matches_lerp():
+    """sample_line_hat (MXU matmul) equals the gather+lerp path to ~1e-6
+    (hat weights reproduce the lerp weights up to 1-(1-t) rounding),
+    including at the clamped edges."""
+    rng = np.random.default_rng(9)
+    l, c = 37, 6
+    line = jnp.asarray(rng.standard_normal((l, c)), jnp.float32)
+    y = jnp.asarray(
+        np.concatenate([
+            rng.uniform(-1.2, 1.2, 400), [-1.0, 1.0, 0.0, -1.3, 1.3]
+        ]).astype(np.float32)
+    )
+    y_c = jnp.clip(y, -1, 1)
+    ref = fg.sample_packed_line(fg.pack_line(line), l, c, y_c)
+    got = fg.sample_line_hat(line, y_c)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=2e-6, rtol=1e-6
+    )
+    # gradients flow to the line as a matmul transpose (no scatter)
+    g1 = jax.grad(lambda t: jnp.sum(fg.sample_line_hat(t, y_c) ** 2))(line)
+    g2 = jax.grad(
+        lambda t: jnp.sum(
+            fg.sample_packed_line(fg.pack_line(t), l, c, y_c) ** 2
+        )
+    )(line)
+    np.testing.assert_allclose(
+        np.asarray(g1), np.asarray(g2), atol=5e-5, rtol=1e-4
+    )

@@ -17,6 +17,7 @@ optimizer state layout.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -80,6 +81,41 @@ def sample_packed_line(packed, l: int, c: int, y, dtype=None):
         ty = ty.astype(dtype)
     rows = jnp.take(packed, y0, axis=0)  # (N, 2C)
     return rows[:, :c] * (1.0 - ty[:, None]) + rows[:, c:] * ty[:, None]
+
+
+def _hat_weights(y, size: int, dtype=None):
+    """(N, size) linear-interpolation weights as hat functions at the grid
+    nodes: w[n, i] = max(0, 1 - |f_n - i|) with f clamped to [0, size-1].
+    Nonzero only at the two bracketing nodes, where it equals the lerp
+    weights up to ~1 ulp (1-(1-t) rounding)."""
+    f = jnp.clip((y + 1.0) * 0.5 * (size - 1), 0.0, size - 1)
+    if dtype is not None:
+        f = f.astype(dtype)
+    iota = jnp.arange(size, dtype=f.dtype)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(f[:, None] - iota[None, :]))
+
+
+def sample_line_hat(line, y, dtype=None):
+    """Linear sample of a (L, C) line via a hat-weight MATMUL.
+
+    TPU rationale: the line tables are tiny (≤ a few hundred rows), so the
+    (N, L) hat-weight matrix times the table runs on the MXU in
+    microseconds — replacing a per-row gather in the forward AND, far more
+    importantly, the ~14.6 ns/row scatter-add in the backward (the
+    transpose of a matmul is a matmul).  Scatters were the training
+    step's dominant cost (PERF.md); plane tables stay gathered (a 90 000-
+    wide one-hot is not materializable).
+
+    Precision: HIGHEST (fp32-equivalent passes) so training numerics match
+    the lerp path to ~1e-7; pass ``dtype=bf16`` on eval paths for speed.
+    Returns (N, C).
+    """
+    w = _hat_weights(y, line.shape[0], dtype)
+    v = line.astype(dtype) if dtype is not None else line
+    return jax.lax.dot_general(
+        w, v, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 # ---------------------------------------------------------------------------
