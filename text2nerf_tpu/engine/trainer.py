@@ -347,13 +347,19 @@ def reconstruction(
                     else (n_iters_stage1 if n_iters_stage1 > 0 else 1000)
                 )
             factor = ts.lr_factor(cfg.lr_decay_target_ratio, decay_iters)
-            resumed_decay = factor ** stage_step
             sampler_pre = ts.PermutationSampler(
                 len(pool_pre[0]), cfg.batch_size, cfg.seed + start_epoch
             )
             state, tx = ts.make_train_state(
-                state.params, cfg.lr_init * resumed_decay,
-                cfg.lr_basis * resumed_decay, factor,
+                state.params, cfg.lr_init, cfg.lr_basis, factor
+            )
+            # restore the decayed LR by fast-forwarding the optimizer's
+            # step counters to stage_step instead of scaling the initial
+            # LR: the schedule reads the count at runtime, so the compiled
+            # HLO is identical across resumes (a scaled-LR constant would
+            # force a fresh multi-minute compile on every restart)
+            state = state._replace(
+                opt_state=ts.fast_forward_schedule(state.opt_state, stage_step)
             )
             step_fn = make_step(tx)
 
