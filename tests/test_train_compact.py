@@ -1,0 +1,242 @@
+"""Alpha-mask TRAIN compaction: exactness of render_rays_train_compact and
+the compacted train step vs the dense path (render.py, train_step.py).
+
+The compact path materializes only the first K mask-live samples per ray;
+with a fully-permissive mask and K = n_samples it must reproduce the dense
+unmasked step bit-for-bit modulo fp reassociation (same rng stream, same
+sample positions, same losses with the full-S transmittance denominator).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from text2nerf_tpu.engine import train_step as ts
+from text2nerf_tpu.models import tensorf as tf
+from text2nerf_tpu.ops import render as R
+
+
+CFG = tf.TensoRFConfig(
+    density_n_comp=(4, 4, 4), app_n_comp=(8, 8, 8), app_dim=12,
+    fea_pe=2, feature_c=32,
+)
+GRID = (24, 24, 24)
+AABB = jnp.array([[-4.0, -4.0, -4.0], [4.0, 4.0, 4.0]])
+S = 64
+
+
+def _params(seed=0):
+    return tf.init_params(jax.random.PRNGKey(seed), CFG, GRID)
+
+
+def _slab_field_and_mask(pool=3):
+    """A field dense in a z-slab and empty elsewhere (test_render_compact)."""
+    params = dict(_params())
+    line = np.full((24, 4), -3.0, np.float32)
+    zs = np.linspace(-4, 4, 24)
+    line[(zs > 2.4) & (zs < 3.2)] = 3.0
+    params["density_lines"] = (
+        jnp.asarray(line),
+        jnp.abs(params["density_lines"][1]) + 1.0,
+        jnp.abs(params["density_lines"][2]) + 1.0,
+    )
+    params["density_planes"] = tuple(
+        jnp.abs(p) + 1.0 for p in params["density_planes"]
+    )
+    mask, _ = tf.update_alpha_mask(CFG, params, AABB, (24, 24, 24), pool=pool)
+    return params, mask
+
+
+def _ones_mask(pool=5):
+    """Fully-permissive mask: every sample is live."""
+    return {
+        "volume": jnp.ones((24, 24, 24), jnp.float32),
+        "aabb": AABB,
+        "pool": pool,
+    }
+
+
+def _rays(n=64, seed=0):
+    rng = np.random.default_rng(seed)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d[:, 2] = np.abs(d[:, 2]) + 1.0
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.asarray(np.concatenate([np.zeros((n, 3), np.float32), d], -1))
+
+
+def _batch(n=64, seed=0):
+    rng = np.random.default_rng(seed + 100)
+    return {
+        "rays": _rays(n, seed),
+        "rgb": jnp.asarray(rng.uniform(size=(n, 3)).astype(np.float32)),
+        "depth": jnp.asarray(
+            rng.uniform(2.0, 4.0, size=(n,)).astype(np.float32)
+        ),
+    }
+
+
+def test_train_compact_full_mask_matches_dense_render():
+    """All-live mask + K = S: the compact TRAIN render equals the dense
+    unmasked train render exactly (same rng stream -> same jitter)."""
+    params = _params()
+    rays = _rays()
+    key = jax.random.PRNGKey(3)
+    dense = R.render_rays(
+        CFG, params, AABB, rays, key, n_samples=S, app_k=32, is_train=True,
+        white_bg=True,
+    )
+    compact = R.render_rays_train_compact(
+        CFG, params, AABB, rays, _ones_mask(), key, n_samples=S,
+        compact_k=S, app_k=32, white_bg=True, density_group=1,
+    )
+    np.testing.assert_allclose(
+        np.asarray(compact.rgb), np.asarray(dense.rgb), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(compact.depth), np.asarray(dense.depth), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(compact.weights), np.asarray(dense.weights), atol=1e-6
+    )
+
+
+def test_train_compact_grouped_close_to_dense():
+    """density_group=2 (one gathered block row per sample pair) matches up
+    to fp reassociation of the weighted contraction."""
+    params = _params()
+    rays = _rays(seed=5)
+    key = jax.random.PRNGKey(7)
+    block = tf.grouping_block(AABB, GRID, CFG.step_ratio, group=2)
+    assert block, "fixture config must license grouping"
+    dense = R.render_rays(
+        CFG, params, AABB, rays, key, n_samples=S, app_k=32, is_train=True,
+        white_bg=True,
+    )
+    compact = R.render_rays_train_compact(
+        CFG, params, AABB, rays, _ones_mask(pool=5), key, n_samples=S,
+        compact_k=S, app_k=32, white_bg=True, density_group=2,
+        density_block=block,
+    )
+    np.testing.assert_allclose(
+        np.asarray(compact.rgb), np.asarray(dense.rgb), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(compact.depth), np.asarray(dense.depth), atol=1e-3
+    )
+
+
+def test_train_compact_tight_mask_matches_masked_dense():
+    """Slab mask (pool=3 -> occ stride 1), K covering all live samples:
+    compact selection reproduces dense masked culling
+    (tensorBase.py:451-456)."""
+    params, mask = _slab_field_and_mask(pool=3)
+    rays = _rays(seed=6)
+    key = jax.random.PRNGKey(11)
+    dense = R.render_rays(
+        CFG, params, AABB, rays, key, n_samples=S, app_k=32, is_train=True,
+        white_bg=True, alpha_mask=mask,
+    )
+    live_max = int((np.asarray(dense.weights) > 1e-6).sum(-1).max())
+    assert live_max <= 32, live_max
+    compact = R.render_rays_train_compact(
+        CFG, params, AABB, rays, mask, key, n_samples=S,
+        compact_k=32, app_k=32, white_bg=True, density_group=1,
+    )
+    np.testing.assert_allclose(
+        np.asarray(compact.rgb), np.asarray(dense.rgb), atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(compact.depth), np.asarray(dense.depth), atol=2e-2
+    )
+
+
+def test_train_step_compact_matches_dense_grads():
+    """make_train_step(compact_k=S) with an all-live mask produces the same
+    loss metrics and parameter update as the dense step (g=1, fp32)."""
+    params = _params(seed=2)
+    batch = _batch()
+    key = jax.random.PRNGKey(13)
+    aabb = AABB
+
+    state_d, tx_d = ts.make_train_state(params)
+    step_dense = ts.make_train_step(
+        CFG, tx_d, n_samples=S, app_k=32, white_bg=True, density_group=1,
+    )
+    new_d, m_d = step_dense(state_d, aabb, batch, key, 1.0)
+
+    state_c, tx_c = ts.make_train_state(params)
+    step_compact = ts.make_train_step(
+        CFG, tx_c, n_samples=S, app_k=32, white_bg=True, density_group=1,
+        compact_k=S,
+    )
+    new_c, m_c = step_compact(state_c, aabb, batch, key, 1.0,
+                              alpha_mask=_ones_mask())
+
+    for k in ("mse", "depth_loss", "transmit_loss"):
+        np.testing.assert_allclose(
+            float(m_c[k]), float(m_d[k]), rtol=1e-5, atol=1e-7
+        )
+    for a, b in zip(
+        jax.tree.leaves(new_c.params), jax.tree.leaves(new_d.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )
+
+
+def test_train_step_compact_microbatched_runs():
+    """Microbatch scan + grouped compact gathers + tight mask: finite
+    losses and a changed parameter tree."""
+    params, mask = _slab_field_and_mask(pool=5)
+    batch = _batch(n=64, seed=9)
+    key = jax.random.PRNGKey(17)
+    block = tf.grouping_block(AABB, GRID, CFG.step_ratio, group=2)
+    state, tx = ts.make_train_state(params)
+    step = ts.make_train_step(
+        CFG, tx, n_samples=S, app_k=16, white_bg=True, density_group=2,
+        density_block=block, microbatch=2, compact_k=16,
+    )
+    new, m = step(state, AABB, batch, key, 1.0, alpha_mask=mask)
+    assert np.isfinite(float(m["mse"]))
+    assert np.isfinite(float(m["psnr"]))
+    changed = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            jax.tree.leaves(new.params), jax.tree.leaves(state.params)
+        )
+    )
+    assert changed
+
+
+def test_train_step_dense_ignores_mask_when_disabled():
+    """compact_k=0 steps must ignore a passed mask (dense path)."""
+    params = _params(seed=4)
+    batch = _batch(n=32, seed=3)
+    key = jax.random.PRNGKey(23)
+    state, tx = ts.make_train_state(params)
+    step = ts.make_train_step(CFG, tx, n_samples=S, app_k=16, white_bg=True)
+    new_a, m_a = step(state, AABB, batch, key, 1.0)
+    state_b, _ = ts.make_train_state(params)
+    new_b, m_b = step(state_b, AABB, batch, key, 1.0,
+                      alpha_mask=_ones_mask())
+    np.testing.assert_array_equal(
+        np.asarray(new_a.params["basis"]), np.asarray(new_b.params["basis"])
+    )
+    assert float(m_a["mse"]) == float(m_b["mse"])
+
+
+def test_train_compact_wrapper_guard():
+    """The public wrapper refuses density_group=2 with a pool-3 mask (the
+    dilation cannot license the group-strided occupancy test)."""
+    params, mask3 = _slab_field_and_mask(pool=3)
+    rays = _rays(8)
+    key = jax.random.PRNGKey(0)
+    try:
+        R.render_rays_train_compact(
+            CFG, params, AABB, rays, mask3, key, n_samples=S,
+            compact_k=16, app_k=8, density_group=2, density_block=3,
+        )
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("expected ValueError for unlicensed stride")

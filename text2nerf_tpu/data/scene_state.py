@@ -128,6 +128,7 @@ def bootstrap_scene(
     estimate_depth: Optional[Callable[[np.ndarray], np.ndarray]] = None,
     auto_accept: bool = True,
     confirm: Optional[Callable[[np.ndarray], bool]] = None,
+    log=None,
 ) -> SceneState:
     """Build the initial scene (SceneGenDataset.read_meta, scene_gen.py:159-423).
 
@@ -142,7 +143,12 @@ def bootstrap_scene(
     ``auto_accept`` replaces the reference's interactive stdin approval loop
     (scene_gen.py:163-173) for batch jobs; pass a ``confirm`` callable to
     keep a human gate (regenerates while it returns False).
+
+    ``log`` (a tracing.MetricsLogger) records per-sub-phase wall clocks as
+    ``phase/bootstrap_<name>_s`` rows.
     """
+    from ..engine.tracing import phase_timer
+
     h, w = cfg.hw
     paths = scene_io.scene_paths(cfg.datadir)
     for p in paths.values():
@@ -150,18 +156,19 @@ def bootstrap_scene(
 
     # ---- seed image -------------------------------------------------------
     seed_path = os.path.join(paths["rgb"], "00000.png")
-    if os.path.isfile(seed_path):
-        img = scene_io.read_rgb(seed_path)
-    else:
-        if text2img is None:
-            raise FileNotFoundError(
-                f"no seed image at {seed_path} and no text2img service given"
-            )
-        while True:
-            img = np.asarray(text2img(cfg.prompt, cfg.negative_prompt))
-            if auto_accept or confirm is None or confirm(img):
-                break
-        scene_io.write_rgb(seed_path, img)
+    with phase_timer("bootstrap_seed_image", log):
+        if os.path.isfile(seed_path):
+            img = scene_io.read_rgb(seed_path)
+        else:
+            if text2img is None:
+                raise FileNotFoundError(
+                    f"no seed image at {seed_path} and no text2img service given"
+                )
+            while True:
+                img = np.asarray(text2img(cfg.prompt, cfg.negative_prompt))
+                if auto_accept or confirm is None or confirm(img):
+                    break
+            scene_io.write_rgb(seed_path, img)
 
     # crop to square if needed (scene_gen.py:180-187)
     ih, iw = img.shape[:2]
@@ -172,23 +179,25 @@ def bootstrap_scene(
     # ---- depth ------------------------------------------------------------
     depth_png = os.path.join(paths["depth"], "00000.png")
     depth_npy = os.path.join(paths["depth"], "00000.npy")
-    if os.path.isfile(depth_png):
-        depth = scene_io.depth_process(
-            scene_io.read_depth_raw(depth_png), cfg.depth_net_type,
-            push_depth=cfg.push_depth,
-        )
-    elif os.path.isfile(depth_npy):
-        depth = (np.load(depth_npy) / 2.0).astype(np.float32)  # scene_gen.py:206-208
-    else:
-        if estimate_depth is None:
-            raise FileNotFoundError(
-                f"no depth at {depth_png} and no depth service given"
+    with phase_timer("bootstrap_depth", log):
+        if os.path.isfile(depth_png):
+            depth = scene_io.depth_process(
+                scene_io.read_depth_raw(depth_png), cfg.depth_net_type,
+                push_depth=cfg.push_depth,
             )
-        counts = np.asarray(estimate_depth(img))
-        scene_io.write_depth_png(depth_png, counts)
-        depth = scene_io.depth_process(
-            counts, cfg.depth_net_type, push_depth=cfg.push_depth
-        )
+        elif os.path.isfile(depth_npy):
+            # scene_gen.py:206-208
+            depth = (np.load(depth_npy) / 2.0).astype(np.float32)
+        else:
+            if estimate_depth is None:
+                raise FileNotFoundError(
+                    f"no depth at {depth_png} and no depth service given"
+                )
+            counts = np.asarray(estimate_depth(img))
+            scene_io.write_depth_png(depth_png, counts)
+            depth = scene_io.depth_process(
+                counts, cfg.depth_net_type, push_depth=cfg.push_depth
+            )
     if depth.shape[0] != img.shape[0]:
         import cv2
 
@@ -202,11 +211,12 @@ def bootstrap_scene(
         depth = cv2.resize(depth, (w, h), interpolation=cv2.INTER_NEAREST)
 
     # ---- seed RGBD filtering (scene_gen.py:219-225) ------------------------
-    img_j, depth_j = filter_ops.sparse_bilateral_filtering(
-        depth, img, filter_size=cfg.filter_size,
-        depth_threshold=0.02, num_iter=cfg.num_filter_iter,
-    )
-    img, depth = np.asarray(img_j), np.asarray(depth_j)
+    with phase_timer("bootstrap_bilateral", log):
+        img_j, depth_j = filter_ops.sparse_bilateral_filtering(
+            depth, img, filter_size=cfg.filter_size,
+            depth_threshold=0.02, num_iter=cfg.num_filter_iter,
+        )
+        img, depth = np.asarray(img_j), np.asarray(depth_j)
 
     # ---- intrinsics + poses -----------------------------------------------
     fx, fy, cx, cy = ray_ops.default_intrinsics(h, w)
@@ -254,22 +264,25 @@ def bootstrap_scene(
         )
 
     # ---- support set via warping (scene_gen.py:302-334) --------------------
-    if cfg.use_support_set:
-        rgbs_w, masks_w, depth_w = splat_ops.warp_one_to_many(
-            jnp.asarray(img), jnp.asarray(depth), jnp.asarray(poses_sprt[0]),
-            jnp.asarray(poses_sprt[1:]), intrinsic,
-        )
-        images = np.concatenate([img[None], np.asarray(rgbs_w)], 0)
-        masks = np.concatenate(
-            [np.ones((1, h, w), np.int32), np.asarray(masks_w)], 0
-        )
-        depths = np.concatenate([depth[None], np.asarray(depth_w)], 0)
-        pool = formatted_ray_pool(images, depths, masks, poses_sprt, intrinsic, h, w)
-    else:
-        pool = formatted_ray_pool(
-            img[None], depth[None], np.ones((1, h, w), np.int64),
-            poses_sprt[:1], intrinsic, h, w,
-        )
+    with phase_timer("bootstrap_support_pool", log):
+        if cfg.use_support_set:
+            rgbs_w, masks_w, depth_w = splat_ops.warp_one_to_many(
+                jnp.asarray(img), jnp.asarray(depth), jnp.asarray(poses_sprt[0]),
+                jnp.asarray(poses_sprt[1:]), intrinsic,
+            )
+            images = np.concatenate([img[None], np.asarray(rgbs_w)], 0)
+            masks = np.concatenate(
+                [np.ones((1, h, w), np.int32), np.asarray(masks_w)], 0
+            )
+            depths = np.concatenate([depth[None], np.asarray(depth_w)], 0)
+            pool = formatted_ray_pool(
+                images, depths, masks, poses_sprt, intrinsic, h, w
+            )
+        else:
+            pool = formatted_ray_pool(
+                img[None], depth[None], np.ones((1, h, w), np.int64),
+                poses_sprt[:1], intrinsic, h, w,
+            )
     all_rays, all_rgbs, all_depth, rays_split, rgbs_split, depth_split = pool
     rays_support_split = (
         rays_split

@@ -250,6 +250,7 @@ def expand_scene(
     seed: int = 0,
     alpha_mask=None,
     compact_k: int = 0,
+    log=None,
 ) -> ss.SceneState:
     """Complete view ``view_idx`` of the trajectory and update the scene.
 
@@ -260,32 +261,48 @@ def expand_scene(
     With ``alpha_mask`` + ``compact_k`` the known-view and target renders
     go through the compacted fast path (render_rays_compact) — the trainer
     rebuilds the mask at each stage boundary.
+
+    ``log`` (a tracing.MetricsLogger) records per-sub-phase wall clocks as
+    ``phase/expand{view}_<name>_s`` rows for host/device attribution.
     """
+    from .tracing import phase_timer
+
     h, w = scene.hw
     aabb = jnp.asarray(scene.scene_bbox)
     dibr = os.path.join(logdir, "DIBR")
     ex = expansion
+    tag = f"expand{view_idx}"
 
     # --- 1. render + filter the existing views (text2nerf_main.py:102-122)
+    # pipelined: every view's render is DISPATCHED before any filtering
+    # blocks on results — the device works through the render queue while
+    # the host converts/filters earlier views
     rgbs_pre, depths_pre = [], []
-    for n in range(view_idx):
+    with phase_timer(f"{tag}_render_filter_known", log):
+        outs = []
         if ex.use_rendered_img_to_warp:
-            out = render_ops.render_chunked(
-                cfg_model, params, aabb, jnp.asarray(scene.rays_gen_split[n]),
-                n_samples=n_samples, chunk=ex.chunk, app_k=ex.app_k,
-                white_bg=white_bg, alpha_mask=alpha_mask, compact_k=compact_k,
-            )
-            rgb = np.asarray(jnp.clip(out.rgb, 0, 1)).reshape(h, w, 3)
-            depth = np.asarray(out.depth).reshape(h, w)
-            rgb_j, depth_j = filter_ops.sparse_bilateral_filtering(
-                depth, rgb, filter_size=(7, 5, 5, 3, 3),
-                depth_threshold=0.02, num_iter=5,
-            )
-            rgbs_pre.append(np.asarray(rgb_j))
-            depths_pre.append(np.asarray(depth_j))
-        else:
-            rgbs_pre.append(np.asarray(scene.rgbs_gen_split[n]))
-            depths_pre.append(np.asarray(scene.depth_gen_split[n]))
+            for n in range(view_idx):
+                outs.append(render_ops.render_chunked(
+                    cfg_model, params, aabb,
+                    jnp.asarray(scene.rays_gen_split[n]),
+                    n_samples=n_samples, chunk=ex.chunk, app_k=ex.app_k,
+                    white_bg=white_bg, alpha_mask=alpha_mask,
+                    compact_k=compact_k,
+                ))
+        for n in range(view_idx):
+            if ex.use_rendered_img_to_warp:
+                out = outs[n]
+                rgb = np.asarray(jnp.clip(out.rgb, 0, 1)).reshape(h, w, 3)
+                depth = np.asarray(out.depth).reshape(h, w)
+                rgb_j, depth_j = filter_ops.sparse_bilateral_filtering(
+                    depth, rgb, filter_size=(7, 5, 5, 3, 3),
+                    depth_threshold=0.02, num_iter=5,
+                )
+                rgbs_pre.append(np.asarray(rgb_j))
+                depths_pre.append(np.asarray(depth_j))
+            else:
+                rgbs_pre.append(np.asarray(scene.rgbs_gen_split[n]))
+                depths_pre.append(np.asarray(scene.depth_gen_split[n]))
 
     # --- 2. DIBR all views into the target (text2nerf_main.py:128-136)
     my_map, warped_img, warped_depth = splat_ops.warp_many_to_one(
@@ -295,19 +312,20 @@ def expand_scene(
     if ex.use_filter_filling_holes:
         from .. import native
 
-        if native.available():
-            # exact sequential fill (dibr_filter_mask2 semantics)
-            warped_img, my_map_f, warped_depth = native.hole_fill2(
-                np.asarray(warped_img), np.asarray(my_map, np.float32),
-                np.asarray(warped_depth),
-            )
-        else:
-            warped_img_j, my_map_j, warped_depth_j = filter_ops.hole_fill(
-                warped_img, my_map.astype(jnp.float32), warped_depth
-            )
-            warped_img = np.asarray(warped_img_j)
-            my_map_f = np.asarray(my_map_j)
-            warped_depth = np.asarray(warped_depth_j)
+        with phase_timer(f"{tag}_dibr_holefill", log):
+            if native.available():
+                # exact sequential fill (dibr_filter_mask2 semantics)
+                warped_img, my_map_f, warped_depth = native.hole_fill2(
+                    np.asarray(warped_img), np.asarray(my_map, np.float32),
+                    np.asarray(warped_depth),
+                )
+            else:
+                warped_img_j, my_map_j, warped_depth_j = filter_ops.hole_fill(
+                    warped_img, my_map.astype(jnp.float32), warped_depth
+                )
+                warped_img = np.asarray(warped_img_j)
+                my_map_f = np.asarray(my_map_j)
+                warped_depth = np.asarray(warped_depth_j)
     else:
         my_map_f = np.asarray(my_map).astype(np.float32)
         warped_img = np.asarray(warped_img)
@@ -318,73 +336,84 @@ def expand_scene(
     _write(os.path.join(dibr, "mask_inv", "%05d.png" % view_idx), 1 - my_map_f)
 
     # --- 3. render the target view (text2nerf_main.py:164-178)
-    out = render_ops.render_chunked(
-        cfg_model, params, aabb, jnp.asarray(scene.rays_gen_split[view_idx]),
-        n_samples=n_samples, chunk=ex.chunk, app_k=ex.app_k, white_bg=white_bg,
-        alpha_mask=alpha_mask, compact_k=compact_k,
-    )
-    rgb_render = np.asarray(jnp.clip(out.rgb, 0, 1)).reshape(h, w, 3)
-    depth_rendered = np.asarray(out.depth).reshape(h, w) * my_map_f
+    with phase_timer(f"{tag}_render_target", log):
+        out = render_ops.render_chunked(
+            cfg_model, params, aabb,
+            jnp.asarray(scene.rays_gen_split[view_idx]),
+            n_samples=n_samples, chunk=ex.chunk, app_k=ex.app_k,
+            white_bg=white_bg, alpha_mask=alpha_mask, compact_k=compact_k,
+        )
+        rgb_render = np.asarray(jnp.clip(out.rgb, 0, 1)).reshape(h, w, 3)
+        depth_rendered = np.asarray(out.depth).reshape(h, w) * my_map_f
     _write(os.path.join(dibr, "rendered", "%05d_ori.png" % view_idx), rgb_render)
 
     # --- 4. diffusion inpainting + candidate ranking
     #        (text2nerf_main.py:186-220)
     mask_inv = 1.0 - my_map_f
-    if ex.frame_select_type == "auto_cos":
-        candidates = []
-        rounds = max(1, ex.n_candidates // ex.candidates_per_round)
-        for r in range(rounds):
-            candidates += list(
+    with phase_timer(f"{tag}_inpaint_rank", log):
+        if ex.frame_select_type == "auto_cos":
+            candidates = []
+            rounds = max(1, ex.n_candidates // ex.candidates_per_round)
+            for r in range(rounds):
+                candidates += list(
+                    services.inpaint(
+                        rgb_render, mask_inv, prompt=ex.prompt,
+                        negative_prompt=ex.negative_prompt,
+                        num_images=ex.candidates_per_round,
+                        seed=seed * 100 + r,
+                    )
+                )
+            ref = scene.rgbs_gen_split[0]
+            scores = services.rank(candidates, ref)
+            img_new = np.asarray(candidates[int(np.argmax(scores))], np.float32)
+            for i, cand in enumerate(candidates):
+                _write(
+                    os.path.join(dibr, "rgbs", "%05d_%03d.png" % (view_idx, i)),
+                    cand,
+                )
+        else:
+            img_new = np.asarray(
                 services.inpaint(
                     rgb_render, mask_inv, prompt=ex.prompt,
-                    negative_prompt=ex.negative_prompt,
-                    num_images=ex.candidates_per_round, seed=seed * 100 + r,
-                )
+                    negative_prompt=ex.negative_prompt, num_images=1, seed=seed,
+                )[0],
+                np.float32,
             )
-        ref = scene.rgbs_gen_split[0]
-        scores = services.rank(candidates, ref)
-        img_new = np.asarray(candidates[int(np.argmax(scores))], np.float32)
-        for i, cand in enumerate(candidates):
-            _write(os.path.join(dibr, "rgbs", "%05d_%03d.png" % (view_idx, i)), cand)
-    else:
-        img_new = np.asarray(
-            services.inpaint(
-                rgb_render, mask_inv, prompt=ex.prompt,
-                negative_prompt=ex.negative_prompt, num_images=1, seed=seed,
-            )[0],
-            np.float32,
-        )
     _write(os.path.join(dibr, "rgbs", "%05d.png" % view_idx), img_new)
 
     # --- 5. monocular depth + global alignment (text2nerf_main.py:222-270)
-    counts = np.asarray(services.estimate_depth(img_new))
-    depth_est = counts / 12000.0 + ex.push_depth
-    scale, shift = global_depth_alignment(
-        depth_rendered, depth_est, my_map_f, ex.push_depth, seed=seed
-    )
-    depth_shift = depth_est * scale - shift
+    with phase_timer(f"{tag}_depth_align", log):
+        counts = np.asarray(services.estimate_depth(img_new))
+        depth_est = counts / 12000.0 + ex.push_depth
+        scale, shift = global_depth_alignment(
+            depth_rendered, depth_est, my_map_f, ex.push_depth, seed=seed
+        )
+        depth_shift = depth_est * scale - shift
 
     # --- 6. local alignment: test-time finetuned merge net
     #        (text2nerf_main.py:272-283)
     depth_ref = ((depth_rendered - ex.push_depth) * 12000.0 / 32768.0 - 1.0) * my_map_f
     depth_src = (depth_shift - ex.push_depth) * 12000.0 / 32768.0 - 1.0
-    merged = services.merge.run_finetune(
-        depth_ref.astype(np.float32), depth_src.astype(np.float32),
-        my_map_f.copy(), outsize=max(h, w), lr=ex.merge_lr, iters=ex.merge_iters,
-    )
-    depth_new = ((np.asarray(merged) + 1.0) * 32768.0) / 12000.0 + ex.push_depth
-    depth_new = depth_new.astype(np.float32)
+    with phase_timer(f"{tag}_merge_finetune", log):
+        merged = services.merge.run_finetune(
+            depth_ref.astype(np.float32), depth_src.astype(np.float32),
+            my_map_f.copy(), outsize=max(h, w), lr=ex.merge_lr,
+            iters=ex.merge_iters,
+        )
+        depth_new = ((np.asarray(merged) + 1.0) * 32768.0) / 12000.0 + ex.push_depth
+        depth_new = depth_new.astype(np.float32)
     _write(
         os.path.join(dibr, "depth", "%05d_depth_finetuning2.png" % view_idx),
         (np.asarray(merged) + 1.0) * 32768.0,
     )
 
     # --- 7. filter the completed view (text2nerf_main.py:287-291)
-    img_j, depth_j = filter_ops.sparse_bilateral_filtering(
-        depth_new, img_new, filter_size=(5, 5, 3, 3),
-        depth_threshold=0.02, num_iter=4,
-    )
-    img_new, depth_new = np.asarray(img_j), np.asarray(depth_j)
+    with phase_timer(f"{tag}_filter_new", log):
+        img_j, depth_j = filter_ops.sparse_bilateral_filtering(
+            depth_new, img_new, filter_size=(5, 5, 3, 3),
+            depth_threshold=0.02, num_iter=4,
+        )
+        img_new, depth_new = np.asarray(img_j), np.asarray(depth_j)
     _write(os.path.join(dibr, "depth", "%05d_new.png" % view_idx), depth_new * 12000)
 
     # --- 8. append + support pools (text2nerf_main.py:296-299, 379-399)
@@ -400,31 +429,32 @@ def expand_scene(
             logdir=logdir,
         )
 
-    if ex.use_support_set:
-        poses_support = traj.local_fixed_poses(
-            scene.poses_gen[view_idx], angle=0, range_center=ex.trans_range,
-            range_yaw=0.6, range_pitch=0.2,
-        )
-        rgbs_w, _, depth_w = splat_ops.warp_one_to_many(
-            jnp.asarray(img_new), jnp.asarray(depth_new),
-            jnp.asarray(poses_support[0]), jnp.asarray(poses_support[1:]),
-            scene.intrinsic,
-        )
-        _, masks_w, _ = splat_ops.warp_one_to_many(
-            jnp.asarray(img_new), jnp.asarray(depth_new),
-            jnp.asarray(poses_support[0]), jnp.asarray(poses_support[1:]),
-            scene.intrinsic, mask=jnp.asarray(inpaint_mask),
-        )
-        images = np.concatenate([img_new[None], np.asarray(rgbs_w)], 0)
-        masks = np.concatenate([inpaint_mask[None], np.asarray(masks_w)], 0)
-        depths = np.concatenate([depth_new[None], np.asarray(depth_w)], 0)
-        rays_p, rgbs_p, depths_p, _, _, _ = ss.formatted_ray_pool(
-            images, depths, masks, poses_support, scene.intrinsic, h, w
-        )
-    else:
-        rays_p, rgbs_p, depths_p, _, _, _ = ss.formatted_ray_pool(
-            img_new[None], depth_new[None], inpaint_mask[None],
-            scene.poses_gen[view_idx][None], scene.intrinsic, h, w,
-        )
+    with phase_timer(f"{tag}_support_pool", log):
+        if ex.use_support_set:
+            poses_support = traj.local_fixed_poses(
+                scene.poses_gen[view_idx], angle=0, range_center=ex.trans_range,
+                range_yaw=0.6, range_pitch=0.2,
+            )
+            rgbs_w, _, depth_w = splat_ops.warp_one_to_many(
+                jnp.asarray(img_new), jnp.asarray(depth_new),
+                jnp.asarray(poses_support[0]), jnp.asarray(poses_support[1:]),
+                scene.intrinsic,
+            )
+            _, masks_w, _ = splat_ops.warp_one_to_many(
+                jnp.asarray(img_new), jnp.asarray(depth_new),
+                jnp.asarray(poses_support[0]), jnp.asarray(poses_support[1:]),
+                scene.intrinsic, mask=jnp.asarray(inpaint_mask),
+            )
+            images = np.concatenate([img_new[None], np.asarray(rgbs_w)], 0)
+            masks = np.concatenate([inpaint_mask[None], np.asarray(masks_w)], 0)
+            depths = np.concatenate([depth_new[None], np.asarray(depth_w)], 0)
+            rays_p, rgbs_p, depths_p, _, _, _ = ss.formatted_ray_pool(
+                images, depths, masks, poses_support, scene.intrinsic, h, w
+            )
+        else:
+            rays_p, rgbs_p, depths_p, _, _, _ = ss.formatted_ray_pool(
+                img_new[None], depth_new[None], inpaint_mask[None],
+                scene.poses_gen[view_idx][None], scene.intrinsic, h, w,
+            )
     scene.updates["%05d" % view_idx] = (rays_p, rgbs_p, depths_p)
     return scene

@@ -61,8 +61,21 @@ def lr_factor(decay_target_ratio: float, decay_iters: int) -> float:
     return float(decay_target_ratio) ** (1.0 / max(int(decay_iters), 1))
 
 
-def make_optimizer(params, lr_init=0.02, lr_basis=1e-3, factor=1.0):
-    """Two-group Adam with per-step exponential decay."""
+def make_optimizer(params, lr_init=0.02, lr_basis=1e-3, factor=1.0,
+                   runtime_decay=False):
+    """Two-group Adam with per-step exponential decay.
+
+    ``runtime_decay=True`` returns a UNIT-learning-rate Adam: the
+    per-group base LR and the ``factor**t`` decay are applied inside the
+    train step from a runtime scalar (the ``lr_decay`` step argument)
+    instead of an optax schedule.  The decay factor then never appears as
+    a compiled constant, so ONE executable serves every stage reset,
+    resume, and warm-up — the embedded-schedule form recompiles whenever
+    ``factor`` changes (each stage boundary recomputes it from the pool
+    size; a multi-minute compile per view on tunneled backends).
+    """
+    if runtime_decay:
+        return optax.adam(1.0, b1=0.9, b2=0.99)
 
     def sched(base):
         return optax.exponential_decay(
@@ -79,8 +92,9 @@ def make_optimizer(params, lr_init=0.02, lr_basis=1e-3, factor=1.0):
     return tx
 
 
-def make_train_state(params, lr_init=0.02, lr_basis=1e-3, factor=1.0):
-    tx = make_optimizer(params, lr_init, lr_basis, factor)
+def make_train_state(params, lr_init=0.02, lr_basis=1e-3, factor=1.0,
+                     runtime_decay=False):
+    tx = make_optimizer(params, lr_init, lr_basis, factor, runtime_decay)
     return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32)), tx
 
 
@@ -117,6 +131,10 @@ def make_train_step(
     density_block: int = 4,
     microbatch: int = 1,
     compute_dtype: str = "fp32",
+    compact_k: int = 0,
+    runtime_decay: bool = False,
+    lr_init: float = 0.02,
+    lr_basis: float = 1e-3,
 ):
     """Build the jitted train step.
 
@@ -158,24 +176,43 @@ def make_train_step(
     per sub-batch.
     """
     assert depth_loss_type in ("mse", "ssi", "silog"), depth_loss_type
+    compact = compact_k > 0 and not ndc
 
-    def batch_loss(params, aabb, batch, rng):
+    def batch_loss(params, aabb, batch, rng, alpha_mask=None):
         """Per-ray loss terms (no batch-independent regularizers)."""
-        out = render_ops.render_rays(
-            cfg,
-            params,
-            aabb,
-            batch["rays"],
-            rng,
-            n_samples=n_samples,
-            app_k=app_k,
-            is_train=True,
-            white_bg=white_bg,
-            ndc=ndc,
-            density_group=1 if ndc else density_group,
-            density_block=density_block,
-            feature_dtype=compute_dtype,
-        )
+        if compact and alpha_mask is not None:
+            # alpha-mask train compaction (render_rays_train_compact):
+            # gather/scatter rows only for the first compact_k mask-live
+            # samples per ray — the round-3 answer to the scatter-bound
+            # backward (PERF.md).  Semantics = the reference's masked
+            # culling (tensorBase.py:451-456) + tail truncation.
+            out = render_ops._render_rays_train_compact(
+                cfg, params, aabb, batch["rays"], alpha_mask, rng,
+                n_samples=n_samples,
+                compact_k=compact_k,
+                app_k=min(app_k, compact_k),
+                white_bg=white_bg,
+                density_group=density_group,
+                density_block=density_block,
+                occ_stride=max(1, density_group),
+                feature_dtype=compute_dtype,
+            )
+        else:
+            out = render_ops.render_rays(
+                cfg,
+                params,
+                aabb,
+                batch["rays"],
+                rng,
+                n_samples=n_samples,
+                app_k=app_k,
+                is_train=True,
+                white_bg=white_bg,
+                ndc=ndc,
+                density_group=1 if ndc else density_group,
+                density_block=density_block,
+                feature_dtype=compute_dtype,
+            )
         depth_map = jnp.nan_to_num(out.depth)  # text2nerf_main.py:559-560
 
         loss_rgb = L.mse(out.rgb, batch["rgb"])
@@ -191,7 +228,12 @@ def make_train_step(
         else:
             loss_depth = L.mse(depth_map, batch["depth"])
         mask = L.depth_front_mask(out.z_vals, batch["depth"], weights.trans_margin)
-        loss_trans = L.transmittance_mask_loss(out.weights, mask)
+        # compacted weights cover only the materialized samples; keep the
+        # reference's full-S per-ray mean (culled samples contribute 0)
+        loss_trans = L.transmittance_mask_loss(
+            out.weights, mask,
+            denom=n_samples if compact and alpha_mask is not None else None,
+        )
 
         total = (
             loss_rgb
@@ -228,14 +270,15 @@ def make_train_step(
             total = total + weights.ortho * tf.vector_comp_diffs(cfg, params)
         return total, metrics
 
-    def loss_fn(params, aabb, batch, rng, step, tv_decay):
-        total, metrics = batch_loss(params, aabb, batch, rng)
+    def loss_fn(params, aabb, batch, rng, step, tv_decay, alpha_mask=None):
+        total, metrics = batch_loss(params, aabb, batch, rng, alpha_mask)
         reg, reg_metrics = reg_loss(params, step, tv_decay)
         metrics.update(reg_metrics)
         return total + reg, metrics
 
     @functools.partial(jax.jit, static_argnames=("has_tv_decay",))
-    def _step(state: TrainState, aabb, batch, rng, tv_decay, has_tv_decay):
+    def _step(state: TrainState, aabb, batch, rng, tv_decay, has_tv_decay,
+              alpha_mask=None, lr_decay=jnp.float32(1.0)):
         tv_decay = tv_decay if has_tv_decay else None
         # shapes are static per-compile: clamp to a divisor of the actual
         # batch (ray pools smaller than batch_size yield short batches)
@@ -243,7 +286,7 @@ def make_train_step(
         r = effective_microbatch(b, microbatch)
         if r == 1:
             (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params, aabb, batch, rng, state.step, tv_decay
+                state.params, aabb, batch, rng, state.step, tv_decay, alpha_mask
             )
         else:
             sub = jax.tree.map(
@@ -254,7 +297,7 @@ def make_train_step(
 
             def body(acc, xs):
                 b_i, k_i = xs
-                (_, m), g = grad_fn(state.params, aabb, b_i, k_i)
+                (_, m), g = grad_fn(state.params, aabb, b_i, k_i, alpha_mask)
                 return jax.tree.map(jnp.add, acc, g), m
 
             zero = jax.tree.map(jnp.zeros_like, state.params)
@@ -268,13 +311,30 @@ def make_train_step(
             metrics.update(reg_metrics)
         metrics["psnr"] = L.mse2psnr(metrics["mse"])
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        if runtime_decay:
+            # unit-LR Adam directions scaled here by the per-group base LR
+            # and the runtime decay scalar (see make_optimizer): the
+            # schedule never enters the compiled HLO
+            labels = tf.param_group_labels(state.params)
+            updates = jax.tree.map(
+                lambda u, lbl: u
+                * ((lr_init if lbl == "spatial" else lr_basis) * lr_decay),
+                updates, labels,
+            )
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), metrics
 
-    def train_step(state, aabb, batch, rng, tv_decay=None):
+    def train_step(state, aabb, batch, rng, tv_decay=None, alpha_mask=None,
+                   lr_decay=1.0):
+        if compact and alpha_mask is not None:
+            alpha_mask = render_ops._strip_pool(alpha_mask)
+        else:
+            alpha_mask = None
         if tv_decay is None:
-            return _step(state, aabb, batch, rng, jnp.float32(1.0), False)
-        return _step(state, aabb, batch, rng, jnp.float32(tv_decay), True)
+            return _step(state, aabb, batch, rng, jnp.float32(1.0), False,
+                         alpha_mask, jnp.float32(lr_decay))
+        return _step(state, aabb, batch, rng, jnp.float32(tv_decay), True,
+                     alpha_mask, jnp.float32(lr_decay))
 
     return train_step
 

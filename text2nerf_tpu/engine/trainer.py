@@ -100,6 +100,14 @@ class TrainConfig:
     # 'bf16' runs the factor gather/lerp math of the train forward+backward
     # in bfloat16 (index math, losses, params, Adam all fp32)
     train_compute_dtype: str = "fp32"
+    # TPU-native extension: alpha-mask TRAIN compaction — once a stage
+    # boundary has built an occupancy mask, the train step gathers (and
+    # scatters, in the backward) only the first K mask-live samples per
+    # ray (render_rays_train_compact; semantics = the reference's masked
+    # culling, tensorBase.py:451-456, + tail truncation past K).  Cuts
+    # the scatter-bound backward by the mask's live fraction; 0 disables.
+    # Stage 1 (no mask yet) always runs dense.
+    train_compact_k: int = 0
     seed: int = 1024
     model: tf.TensoRFConfig = dataclasses.field(default_factory=tf.TensoRFConfig)
     # TensoRF coarse-to-fine machinery (upsamp_list / update_AlphaMask_list,
@@ -127,6 +135,83 @@ class TrainConfig:
 
 def _epoch_iters(n_rays: int, batch: int) -> int:
     return n_rays // batch + int(n_rays % batch > 0)
+
+
+def _start_train_step_warmup(cfg: "TrainConfig", scene_cfg):
+    """Overlap the stage-1 train-step jit compile with the host-side scene
+    bootstrap (VERDICT r3 item 5).
+
+    Every shape the train step compiles against derives from CONFIG alone
+    (the scene AABB is ±scene_bound, the grid from n_voxel_init, the batch
+    from batch_size), so a background thread can run one throwaway step on
+    dummy data while bootstrap_scene does its bilateral filter / support
+    warps / pool building — populating the in-process + persistent
+    compilation caches that the first real step then hits.  XLA compiles
+    release the GIL (and run server-side on tunneled backends), so the
+    overlap is genuine.  Returns the thread (callers may join; failures
+    are swallowed — warm-up is best-effort and the real compile path is
+    unchanged).
+    """
+    import threading
+
+    def body():
+        try:
+            aabb_w = jnp.asarray(
+                [[-scene_cfg.scene_bound] * 3, [scene_cfg.scene_bound] * 3],
+                jnp.float32,
+            )
+            reso = tf.n_to_reso(cfg.n_voxel_init, aabb_w)
+            n_samples = tf.default_n_samples(
+                reso, cfg.model.step_ratio, cfg.n_samples_cap
+            )
+            params_w = tf.init_params(
+                jax.random.PRNGKey(0), cfg.model, reso
+            )
+            state_w, tx_w = ts.make_train_state(
+                params_w, cfg.lr_init, cfg.lr_basis, 0.999
+            )
+            group, block = 1, 4
+            if cfg.train_density_group > 1 and not cfg.ndc_ray:
+                b = tf.grouping_block(
+                    aabb_w, reso, cfg.model.step_ratio,
+                    group=cfg.train_density_group,
+                )
+                if b:
+                    group, block = cfg.train_density_group, b
+            step_w = ts.make_train_step(
+                cfg.model, tx_w, n_samples=n_samples, app_k=cfg.app_k,
+                white_bg=scene_cfg.white_bg, ndc=cfg.ndc_ray,
+                weights=ts.LossWeights(
+                    tv_density=cfg.tv_weight_density,
+                    tv_app=cfg.tv_weight_app,
+                    l1=cfg.l1_weight, ortho=cfg.ortho_weight,
+                ),
+                depth_loss_type=cfg.depth_loss_type,
+                density_group=group, density_block=block,
+                compute_dtype=cfg.train_compute_dtype,
+                compact_k=cfg.train_compact_k,
+                microbatch=ts.effective_microbatch(
+                    cfg.batch_size, cfg.train_microbatch
+                ),
+            )
+            dirs = np.full((cfg.batch_size, 3), 0.577, np.float32)
+            batch_w = {
+                "rays": jnp.asarray(
+                    np.concatenate(
+                        [np.zeros((cfg.batch_size, 3), np.float32), dirs], -1
+                    )
+                ),
+                "rgb": jnp.zeros((cfg.batch_size, 3), jnp.float32),
+                "depth": jnp.full((cfg.batch_size,), 4.0, jnp.float32),
+            }
+            _, m = step_w(state_w, aabb_w, batch_w, jax.random.PRNGKey(0), 1.0)
+            jax.block_until_ready(m)
+        except Exception:  # best-effort: never block the real path
+            pass
+
+    t = threading.Thread(target=body, daemon=True, name="train-step-warmup")
+    t.start()
+    return t
 
 
 def _batch_from_pool(pool, ids):
@@ -208,6 +293,7 @@ def reconstruction(
                 scene_cfg, "train",
                 text2img=services.text2img,
                 estimate_depth=services.estimate_depth,
+                log=log,
             )
         mcfg, params, aabb, _ = init_field(cfg, scene)
     white_bg = scene.white_bg
@@ -238,13 +324,13 @@ def reconstruction(
         tv_density=cfg.tv_weight_density, tv_app=cfg.tv_weight_app,
         l1=cfg.l1_weight, ortho=cfg.ortho_weight,
     )
-    def make_step(tx):
+    def current_group():
         # grouped density gathers: the round-3 weighted-contraction
         # extraction made them the fastest train path (689 → 529 ms/step
         # at the production config, PERF.md) — one gathered/scattered row
         # serves ``train_density_group`` ray-consecutive samples.  Guarded
-        # by grouping_block on the CURRENT aabb/reso (re-evaluated here
-        # because make_step is rebuilt at upsample/shrink milestones);
+        # by grouping_block on the CURRENT aabb/reso (re-evaluated at
+        # upsample/shrink milestones because make_step is rebuilt there);
         # falls back to per-sample gathers when the drift bound fails.
         group, block = 1, 4
         if cfg.train_density_group > 1 and not cfg.ndc_ray:
@@ -254,16 +340,40 @@ def reconstruction(
             )
             if b:
                 group, block = cfg.train_density_group, b
+        return group, block
+
+    def make_step(tx):
+        group, block = current_group()
         return ts.make_train_step(
             mcfg, tx, n_samples=n_samples, app_k=cfg.app_k,
             white_bg=white_bg, ndc=cfg.ndc_ray, weights=weights,
             depth_loss_type=cfg.depth_loss_type,
             density_group=group, density_block=block,
             compute_dtype=cfg.train_compute_dtype,
+            compact_k=cfg.train_compact_k,
             microbatch=ts.effective_microbatch(
                 cfg.batch_size, cfg.train_microbatch
             ),
         )
+
+    _tm_cache = {}
+
+    def train_mask_arg():
+        """The alpha mask for train compaction, or None when disabled /
+        not yet built / the mask's dilation cannot license the group-
+        strided occupancy test (render_rays_train_compact's guard).
+        Memoized per mask rebuild — the guard does host-side readbacks."""
+        if cfg.train_compact_k <= 0 or eval_mask is None:
+            return None
+        mkey = id(eval_mask)
+        if mkey not in _tm_cache:
+            g, _ = current_group()
+            ok = g == 1 or render_ops.occupancy_stride_safe(
+                mcfg, state.params, aabb, eval_mask, g
+            )
+            _tm_cache.clear()
+            _tm_cache[mkey] = ok
+        return eval_mask if _tm_cache[mkey] else None
 
     state, tx = ts.make_train_state(params, cfg.lr_init, cfg.lr_basis, factor)
     step_fn = make_step(tx)
@@ -396,6 +506,7 @@ def reconstruction(
                     n_samples=n_samples, white_bg=white_bg, seed=cfg.seed + view_idx,
                     alpha_mask=eval_mask,
                     compact_k=cfg.eval_compact_k,
+                    log=log,
                 )
             # replay pool = all previous views' pools (text2nerf_main.py:509-517)
             prev = [scene.updates["%05d" % nn] for nn in range(view_idx)]
@@ -533,7 +644,9 @@ def reconstruction(
                 ids = sampler_new.next_ids()
                 batch = _batch_from_pool(pool_new, ids)
             key, k = jax.random.split(key)
-            state, metrics = step_fn(state, aabb, batch, k, tv_decay)
+            state, metrics = step_fn(
+                state, aabb, batch, k, tv_decay, alpha_mask=train_mask_arg()
+            )
             tv_decay *= factor
             global_step += 1
             stage_step += 1

@@ -20,14 +20,21 @@ def mse2psnr(x):
     return -10.0 * jnp.log(x) / jnp.log(10.0)
 
 
-def transmittance_mask_loss(weights, mask):
+def transmittance_mask_loss(weights, mask, denom=None):
     """Drive compositing weights to zero before the GT surface.
 
     TransMittanceLoss_mask (utils.py:67-80): MSE of per-ray mean of
     ``weights * mask`` against 0.  The mask marks samples in front of the
     supervised depth minus a margin (text2nerf_main.py:569-572).
+
+    ``denom`` overrides the per-ray mean's denominator: the compacted
+    train path (render_rays_train_compact) passes the dense sample count
+    so the loss scale matches the reference's full-S mean even though
+    only the mask-live samples are materialized (the culled ones
+    contribute exactly 0).
     """
-    mean_trans = jnp.mean(weights * mask, axis=1)
+    d = weights.shape[1] if denom is None else denom
+    mean_trans = jnp.sum(weights * mask, axis=1) / d
     return jnp.mean(mean_trans ** 2)
 
 

@@ -469,6 +469,182 @@ def _render_rays_compact(
     return RenderOutput(rgb=rgb, depth=depth, z_vals=z_k, weights=weights, acc=acc)
 
 
+def render_rays_train_compact(
+    cfg: tf.TensoRFConfig,
+    params,
+    aabb,
+    rays,
+    alpha_mask,
+    rng,
+    *,
+    n_samples: int,
+    compact_k: int = 96,
+    app_k: int = 48,
+    white_bg: bool = True,
+    density_group: int = 1,
+    density_block: int = 4,
+    feature_dtype: str = "fp32",
+) -> RenderOutput:
+    """TRAIN-path alpha-mask sample compaction (round-3 perf lever).
+
+    The reference's training loop never sets the alpha mask (SURVEY §3.1:
+    alphaMask "never set here"), so its hot loop gathers all ``n_samples``
+    per ray.  Once a mask exists, masked culling (tensorBase.py:451-456)
+    zeroes most samples' sigma — this path gathers (and, in the backward,
+    scatters) only the first ``compact_k`` mask-live samples per ray,
+    cutting the scatter-bound backward's row count by the mask's live
+    fraction.  Differences vs the dense unmasked step are exactly the
+    mask-culled samples (below the alpha threshold by construction) plus
+    tail truncation past ``compact_k``.
+
+    Train extras over _render_rays_compact: per-ray sampling jitter, the
+    random white-background rule, the autodiffable shading head, and
+    support for ``density_group=2`` — compaction granularity becomes the
+    GROUP (pairs of ray-consecutive samples share one gathered/scattered
+    block row; callers must check tensorf.grouping_block, and the group
+    doubles as the occupancy-test stride, licensed by the same pool
+    dilation as eval striding).
+    """
+    g = max(1, int(density_group))
+    occ_stride = g
+    if g == 1:
+        # per-sample compaction may still test occupancy every 2nd sample
+        # when the mask's dilation licenses it (eval-path rule)
+        s = max(1, (int(alpha_mask.get("pool", 3)) - 1) // 2)
+        if s > 1 and occupancy_stride_safe(cfg, params, aabb, alpha_mask, s):
+            occ_stride = s
+    elif not occupancy_stride_safe(cfg, params, aabb, alpha_mask, g):
+        raise ValueError(
+            "density_group=%d needs a mask pool dilation licensing stride-%d "
+            "occupancy tests (update_alpha_mask(pool>=%d))" % (g, g, 2 * g + 1)
+        )
+    return _render_rays_train_compact(
+        cfg, params, aabb, rays, _strip_pool(alpha_mask), rng,
+        n_samples=n_samples, compact_k=compact_k, app_k=app_k,
+        white_bg=white_bg, density_group=g, density_block=density_block,
+        occ_stride=occ_stride, feature_dtype=feature_dtype,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "n_samples", "compact_k", "app_k", "white_bg",
+        "density_group", "density_block", "occ_stride", "feature_dtype",
+    ),
+)
+def _render_rays_train_compact(
+    cfg: tf.TensoRFConfig,
+    params,
+    aabb,
+    rays,
+    alpha_mask,
+    rng,
+    *,
+    n_samples: int,
+    compact_k: int,
+    app_k: int,
+    white_bg: bool,
+    density_group: int,
+    density_block: int,
+    occ_stride: int,
+    feature_dtype: str,
+) -> RenderOutput:
+    fdt = jnp.bfloat16 if feature_dtype == "bf16" else None
+    g = density_group
+    aabb = jnp.asarray(aabb)
+    rays_o, rays_d = rays[:, :3], rays[:, 3:6]
+    b = rays.shape[0]
+
+    # jittered fixed-step sampling (tensorBase.py:304-323), padded to a
+    # multiple of g so groups are ray-consecutive sample pairs
+    s_pad = n_samples + ((-n_samples) % g)
+    step = tf.step_size(aabb, tf.grid_resolution(cfg, params), cfg.step_ratio)
+    t_min = aabb_slab_entry(rays_o, rays_d, aabb, cfg.near, cfg.far)
+    steps = jnp.arange(s_pad, dtype=rays.dtype)[None, :]
+    rng, k_jit = jax.random.split(rng)
+    steps = steps + jax.random.uniform(k_jit, (b, 1))
+    z_vals = t_min[:, None] + step * steps
+    pts = rays_o[:, None] + rays_d[:, None] * z_vals[..., None]
+
+    valid = jnp.all((pts >= aabb[0]) & (pts <= aabb[1]), axis=-1)
+    # padding samples (index >= n_samples) are never live
+    valid = valid & (steps < n_samples)
+
+    # occupancy, tested every occ_stride-th sample and broadcast (the
+    # mask's pool dilation covers the untested neighbors)
+    n_t = (s_pad + occ_stride - 1) // occ_stride
+    occ_t = _nearest_alpha_lookup(
+        alpha_mask, pts[:, ::occ_stride].reshape(-1, 3)
+    ).reshape(b, n_t)
+    occ = jnp.repeat(occ_t, occ_stride, axis=1)[:, :s_pad]
+    live = valid & (occ > 0)
+
+    n_groups = s_pad // g
+    kg = max(1, min(compact_k, n_samples) // g)
+    if g > 1:
+        live_g = jnp.any(live.reshape(b, n_groups, g), axis=-1)
+    else:
+        live_g = live
+    # first-Kg live groups per ray, in ray order
+    gidx_range = jnp.arange(n_groups, dtype=jnp.int32)[None, :]
+    order_key = jnp.where(live_g, gidx_range, n_groups)
+    gidx = jnp.sort(order_key, axis=-1)[:, :kg]
+    g_live = gidx < n_groups
+    gidx = jnp.minimum(gidx, n_groups - 1)
+
+    # member sample indices of the selected groups: (B, Kg*g)
+    midx = (gidx[..., None] * g + jnp.arange(g, dtype=jnp.int32)).reshape(b, kg * g)
+    z_k = jnp.take_along_axis(z_vals, midx, axis=1)
+    pts_k = jnp.take_along_axis(pts, midx[..., None], axis=1)
+    valid_k = jnp.take_along_axis(valid, midx, axis=1) & jnp.repeat(
+        g_live, g, axis=1
+    )
+    xn_k = jnp.clip(tf.normalize_coord(aabb, pts_k), -1.0, 1.0)
+
+    packed = tf.pack_params(cfg, params)
+    if g > 1:
+        grouped = tf.pack_params_grouped(cfg, params, block=density_block)
+        feat = tf.compute_density_feature_grouped(
+            cfg, grouped, xn_k.reshape(-1, g, 3), block=density_block, dtype=fdt
+        ).reshape(b, kg * g)
+    else:
+        feat = tf.compute_density_feature_packed(
+            cfg, packed, xn_k.reshape(-1, 3), dtype=fdt
+        ).reshape(b, kg * g)
+    sigma = jnp.where(valid_k, tf.feature2density(cfg, feat), 0.0)
+    # uniform spacing: every inter-sample dist is exactly `step` (the
+    # jitter is per-ray, so spacing is preserved), except the dense
+    # march's final sample which carries dist 0 (tensorBase.py:448)
+    dists = jnp.where(midx == n_samples - 1, 0.0, step) * cfg.distance_scale
+    _, weights, _ = raw2alpha(sigma, dists)
+    acc = jnp.sum(weights, axis=-1)
+
+    k2 = min(app_k, kg * g)
+    w_top, aidx = jax.lax.top_k(weights, k2)
+    xn_a = jnp.take_along_axis(xn_k, aidx[..., None], axis=1)
+    app_ok = (w_top > cfg.raymarch_weight_thres)[..., None]
+    app_feat = tf.compute_app_feature_packed(
+        cfg, packed, xn_a.reshape(-1, 3), dtype=fdt
+    )
+    dirs_a = jnp.broadcast_to(rays_d[:, None], (b, k2, 3)).reshape(-1, 3)
+    rgb_a = _shade(
+        cfg, params, xn_a.reshape(-1, 3), dirs_a, app_feat, True
+    ).reshape(b, k2, 3)
+    rgb_a = jnp.where(app_ok, rgb_a, 0.0)
+    rgb = jnp.sum(w_top[..., None] * rgb_a, axis=1)
+
+    if white_bg:
+        rgb = rgb + (1.0 - acc[..., None])
+    else:
+        rng, k_bg = jax.random.split(rng)
+        use_bg = jax.random.uniform(k_bg, ()) < 0.5
+        rgb = jnp.where(use_bg, rgb + (1.0 - acc[..., None]), rgb)
+    rgb = jnp.clip(rgb, 0.0, 1.0)
+    depth = jnp.sum(weights * z_k, axis=-1) + (1.0 - acc) * rays[:, -1]
+    return RenderOutput(rgb=rgb, depth=depth, z_vals=z_k, weights=weights, acc=acc)
+
+
 def render_chunked(
     cfg,
     params,
