@@ -168,7 +168,7 @@ def _start_train_step_warmup(cfg: "TrainConfig", scene_cfg):
                 jax.random.PRNGKey(0), cfg.model, reso
             )
             state_w, tx_w = ts.make_train_state(
-                params_w, cfg.lr_init, cfg.lr_basis, 0.999
+                params_w, cfg.lr_init, cfg.lr_basis, runtime_decay=True
             )
             group, block = 1, 4
             if cfg.train_density_group > 1 and not cfg.ndc_ray:
@@ -190,6 +190,8 @@ def _start_train_step_warmup(cfg: "TrainConfig", scene_cfg):
                 density_group=group, density_block=block,
                 compute_dtype=cfg.train_compute_dtype,
                 compact_k=cfg.train_compact_k,
+                runtime_decay=True, lr_init=cfg.lr_init,
+                lr_basis=cfg.lr_basis,
                 microbatch=ts.effective_microbatch(
                     cfg.batch_size, cfg.train_microbatch
                 ),
@@ -351,6 +353,7 @@ def reconstruction(
             density_group=group, density_block=block,
             compute_dtype=cfg.train_compute_dtype,
             compact_k=cfg.train_compact_k,
+            runtime_decay=True, lr_init=cfg.lr_init, lr_basis=cfg.lr_basis,
             microbatch=ts.effective_microbatch(
                 cfg.batch_size, cfg.train_microbatch
             ),
@@ -375,7 +378,13 @@ def reconstruction(
             _tm_cache[mkey] = ok
         return eval_mask if _tm_cache[mkey] else None
 
-    state, tx = ts.make_train_state(params, cfg.lr_init, cfg.lr_basis, factor)
+    # runtime_decay: the LR schedule lives in a per-step scalar (lr_decay,
+    # tracked like tv_decay) instead of a compiled constant — ONE train-step
+    # executable serves every stage reset, resume, and the bootstrap-time
+    # warm-up, where the embedded-schedule form recompiled per view
+    state, tx = ts.make_train_state(
+        params, cfg.lr_init, cfg.lr_basis, factor, runtime_decay=True
+    )
     step_fn = make_step(tx)
 
     n_views = scene.poses_gen.shape[0]
@@ -386,6 +395,7 @@ def reconstruction(
 
     key = jax.random.PRNGKey(cfg.seed)
     tv_decay = 1.0
+    lr_decay = 1.0  # factor**stage_step, reset at every schedule reset
     view_idx = 0
     eval_mask = None  # alpha-grid mask for compacted eval renders
 
@@ -461,16 +471,14 @@ def reconstruction(
                 len(pool_pre[0]), cfg.batch_size, cfg.seed + start_epoch
             )
             state, tx = ts.make_train_state(
-                state.params, cfg.lr_init, cfg.lr_basis, factor
+                state.params, cfg.lr_init, cfg.lr_basis, factor,
+                runtime_decay=True,
             )
-            # restore the decayed LR by fast-forwarding the optimizer's
-            # step counters to stage_step instead of scaling the initial
-            # LR: the schedule reads the count at runtime, so the compiled
-            # HLO is identical across resumes (a scaled-LR constant would
-            # force a fresh multi-minute compile on every restart)
-            state = state._replace(
-                opt_state=ts.fast_forward_schedule(state.opt_state, stage_step)
-            )
+            # restore the decayed LR: the runtime-decay step reads
+            # factor**stage_step from the lr_decay scalar, so the compiled
+            # HLO is identical across resumes and Adam's moments restart
+            # with fresh bias correction
+            lr_decay = factor ** stage_step
             step_fn = make_step(tx)
 
     for epoch in range(start_epoch, n_total + cfg.n_stage3):
@@ -529,10 +537,12 @@ def reconstruction(
             decay_iters = n_iters_epoch * cfg.n_stage2
             factor = ts.lr_factor(cfg.lr_decay_target_ratio, decay_iters)
             state, tx = ts.make_train_state(
-                state.params, cfg.lr_init, cfg.lr_basis, factor
+                state.params, cfg.lr_init, cfg.lr_basis, factor,
+                runtime_decay=True,
             )
             step_fn = make_step(tx)
             stage_step = 0
+            lr_decay = 1.0
         elif epoch == n_total and pool_new is not None:
             # stage 3: fold the last view's pool in (text2nerf_main.py:529-536)
             pool_pre = tuple(
@@ -546,10 +556,12 @@ def reconstruction(
             decay_iters = n_iters_epoch * max(cfg.n_stage3, 1)
             factor = ts.lr_factor(cfg.lr_decay_target_ratio, decay_iters)
             state, tx = ts.make_train_state(
-                state.params, cfg.lr_init, cfg.lr_basis, factor
+                state.params, cfg.lr_init, cfg.lr_basis, factor,
+                runtime_decay=True,
             )
             step_fn = make_step(tx)
             stage_step = 0
+            lr_decay = 1.0
 
         # --- epoch ----------------------------------------------------------
         for it in range(n_iters_epoch):
@@ -571,15 +583,14 @@ def reconstruction(
                 n_samples = tf.default_n_samples(
                     reso, mcfg.step_ratio, cfg.n_samples_cap
                 )
-                if cfg.lr_upsample_reset:
-                    state, tx = ts.make_train_state(
-                        params_up, cfg.lr_init, cfg.lr_basis, factor
-                    )
-                else:
-                    state, tx = ts.make_train_state(
-                        params_up, cfg.lr_init * tv_decay,
-                        cfg.lr_basis * tv_decay, factor,
-                    )
+                state, tx = ts.make_train_state(
+                    params_up, cfg.lr_init, cfg.lr_basis, factor,
+                    runtime_decay=True,
+                )
+                # lr_upsample_reset=False continues at the decayed LR
+                # (TensoRF's rule): the runtime scalar carries the scale,
+                # the compiled step is unchanged either way
+                lr_decay = 1.0 if cfg.lr_upsample_reset else tv_decay
                 step_fn = make_step(tx)
                 stage_step = 0
             if (
@@ -603,7 +614,8 @@ def reconstruction(
                         mcfg, state.params, aabb, new_aabb
                     )
                     state, tx = ts.make_train_state(
-                        params_sh, cfg.lr_init, cfg.lr_basis, factor
+                        params_sh, cfg.lr_init, cfg.lr_basis, factor,
+                        runtime_decay=True,
                     )
                     # TensoRF's L1_weight_rest rule: the L1 weight switches
                     # after the first alpha-mask update (train.py upstream;
@@ -611,6 +623,7 @@ def reconstruction(
                     weights = weights._replace(l1=cfg.l1_weight_rest)
                     step_fn = make_step(tx)
                     stage_step = 0
+                    lr_decay = 1.0
                 # refilter the ray pools through the fresh mask — the
                 # alpha branch of filtering_rays (tensorBase.py:372-404):
                 # rays that never touch occupied space stop consuming
@@ -645,9 +658,11 @@ def reconstruction(
                 batch = _batch_from_pool(pool_new, ids)
             key, k = jax.random.split(key)
             state, metrics = step_fn(
-                state, aabb, batch, k, tv_decay, alpha_mask=train_mask_arg()
+                state, aabb, batch, k, tv_decay, alpha_mask=train_mask_arg(),
+                lr_decay=lr_decay,
             )
             tv_decay *= factor
+            lr_decay *= factor
             global_step += 1
             stage_step += 1
             if global_step % max(cfg.progress_refresh_rate, 1) == 0:
