@@ -162,3 +162,41 @@ def test_fast_forward_schedule_reproduces_decayed_lr():
     a0 = abs(float(np.asarray(jax.tree.leaves(upd_0)[0]).ravel()[0]))
     a5 = abs(float(np.asarray(jax.tree.leaves(upd_ff)[0]).ravel()[0]))
     assert a5 < a0
+
+
+def test_runtime_decay_matches_embedded_schedule():
+    """The runtime-decay train step (unit-LR Adam scaled by the lr_decay
+    scalar) reproduces the embedded exponential-decay optimizer exactly:
+    after N identical steps the params agree to fp round-off.  The
+    trainer relies on this equivalence to reuse ONE executable across
+    stage resets (engine/trainer.py reconstruction)."""
+    lr_init, lr_basis, factor = 0.02, 1e-3, ts.lr_factor(0.1, 50)
+    params = tf.init_params(jax.random.PRNGKey(0), CFG, GRID)
+    batch = _scene_batch(seed=3)
+    kwargs = dict(n_samples=32, app_k=8, white_bg=True)
+
+    state_e, tx_e = ts.make_train_state(params, lr_init, lr_basis, factor)
+    step_e = ts.make_train_step(CFG, tx_e, **kwargs)
+    state_r, tx_r = ts.make_train_state(
+        params, lr_init, lr_basis, factor, runtime_decay=True
+    )
+    step_r = ts.make_train_step(
+        CFG, tx_r, runtime_decay=True, lr_init=lr_init, lr_basis=lr_basis,
+        **kwargs,
+    )
+
+    lr_decay = 1.0
+    for i in range(6):
+        k = jax.random.PRNGKey(100 + i)
+        state_e, m_e = step_e(state_e, AABB, batch, k)
+        state_r, m_r = step_r(state_r, AABB, batch, k, lr_decay=lr_decay)
+        lr_decay *= factor
+    np.testing.assert_allclose(
+        float(m_e["mse"]), float(m_r["mse"]), rtol=1e-5
+    )
+    for a, b in zip(
+        jax.tree.leaves(state_e.params), jax.tree.leaves(state_r.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6
+        )
