@@ -56,8 +56,9 @@ def fit_seed_scene(cfg, n_epochs=6, hw=256):
     """Short stage-1 fit of the procedural seed scene at the production
     grid: returns (params, aabb, scene-free) — the trained field whose
     alpha mask reflects real scene occupancy.  Fitting at 256^2 keeps the
-    bench under ~5 min; the 512^2 render headline uses the same field."""
-    import dataclasses
+    bench under ~5 min; the 512^2 render headline uses the same field.
+    ``cfg`` is the model config for the fit, so the headline and the
+    synthetic-shell secondary figure measure the SAME model."""
     import tempfile
 
     from text2nerf_tpu.data import scene_state as ss
@@ -73,7 +74,7 @@ def fit_seed_scene(cfg, n_epochs=6, hw=256):
         expname="bench", basedir=root + "/l",
         n_stage1=n_epochs, n_stage2=0, n_stage3=0,
         batch_size=16384, eval_every_epochs=10 ** 6, seed=11,
-        vis_support_views=False,
+        vis_support_views=False, model=cfg,
     )
     services = default_services(hw=(hw, hw), merge_net_size=64,
                                 merge_num_downs=4)

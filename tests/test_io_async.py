@@ -50,3 +50,26 @@ def test_errors_surface_on_flush(tmp_path):
     w.write(str(tmp_path / "ok.png"), np.zeros((4, 4, 3), np.float32))
     w.flush()
     assert os.path.isfile(tmp_path / "ok.png")
+
+
+def test_scoped_flush_isolates_scenes(tmp_path):
+    """flush(root) attributes errors to the failing scene only: a shared
+    writer serving concurrent farm scenes (run_farm_parallel) must not
+    abort scene B's flush with scene A's failed write."""
+    w = AsyncArtifactWriter()
+    img = np.zeros((4, 4, 3), np.float32)
+    scene_a = tmp_path / "scene_a"
+    scene_b = tmp_path / "scene_b"
+    blocker = scene_a / "blocker"
+    os.makedirs(scene_a, exist_ok=True)
+    blocker.write_text("x")  # makes the nested write fail
+    w.write(str(blocker / "sub" / "bad.png"), img)
+    w.write(str(scene_b / "good.png"), img)
+    # scene B's scoped flush succeeds and its artifact is on disk
+    w.flush(str(scene_b))
+    assert os.path.isfile(scene_b / "good.png")
+    # scene A's scoped flush raises ITS error
+    with pytest.raises(Exception):
+        w.flush(str(scene_a))
+    # and a global flush afterwards is clean (error already consumed)
+    w.flush()

@@ -116,54 +116,6 @@ def test_depth_loss_type_selection():
     assert vals["mse"] != vals["silog"]
 
 
-def test_fast_forward_schedule_reproduces_decayed_lr():
-    """fast_forward_schedule: advancing the optimizer counters yields the
-    same next update as a state that actually took N steps (the schedule
-    reads the count at runtime; mid-stage resume relies on this)."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from text2nerf_tpu.engine import train_step as ts
-    from text2nerf_tpu.models import tensorf as tf
-
-    cfg = tf.TensoRFConfig(
-        density_n_comp=(2, 2, 2), app_n_comp=(2, 2, 2), app_dim=4,
-        fea_pe=2, feature_c=8,
-    )
-    params = tf.init_params(jax.random.PRNGKey(0), cfg, (6, 6, 6))
-    factor = 0.9
-    state, tx = ts.make_train_state(params, factor=factor)
-    grads = jax.tree.map(jnp.ones_like, params)
-
-    # walk N real steps
-    s_real = state
-    for _ in range(5):
-        upd, opt = tx.update(grads, s_real.opt_state, s_real.params)
-        s_real = ts.TrainState(s_real.params, opt, s_real.step + 1)
-    # fast-forward a fresh state to the same count
-    s_ff = state._replace(
-        opt_state=ts.fast_forward_schedule(state.opt_state, 5)
-    )
-    # zero the REAL state's float moments (what a restart does) while
-    # keeping its counters: the update must then match the fast-forwarded
-    # state exactly — same schedule decay, same bias correction
-    zeroed = jax.tree.map(
-        lambda x: jnp.zeros_like(x)
-        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
-        s_real.opt_state,
-    )
-    upd_zero, _ = tx.update(grads, zeroed, s_real.params)
-    upd_ff, _ = tx.update(grads, s_ff.opt_state, s_ff.params)
-    for a, b in zip(jax.tree.leaves(upd_zero), jax.tree.leaves(upd_ff)):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    # and the decay really advanced: magnitude shrinks vs a fresh state
-    upd_0, _ = tx.update(grads, state.opt_state, state.params)
-    a0 = abs(float(np.asarray(jax.tree.leaves(upd_0)[0]).ravel()[0]))
-    a5 = abs(float(np.asarray(jax.tree.leaves(upd_ff)[0]).ravel()[0]))
-    assert a5 < a0
-
-
 def test_runtime_decay_matches_embedded_schedule():
     """The runtime-decay train step (unit-LR Adam scaled by the lr_decay
     scalar) reproduces the embedded exponential-decay optimizer exactly:

@@ -46,6 +46,11 @@ def test_update_known_views_branch(tmp_path):
     # pools for back-updated known views)
     assert scene.rgbs_gen_split.shape[0] == 3
     assert set(scene.updates) == {"00000", "00001", "00002"}
+    # the back-updated views' merged depths stay finite and every view's
+    # rebuilt pool is internally consistent on the fully-expanded scene
+    assert np.isfinite(scene.depth_gen_split).all()
+    for k, (rays, rgbs, depths) in scene.updates.items():
+        assert len(rays) == len(rgbs) == len(depths)
     del logfolder  # artifacts are exercised directly below
 
 
@@ -100,6 +105,3 @@ def test_update_known_views_writes_support_artifacts(tmp_path):
     assert any("image_pre" in f for f in files), files
     assert any("image_warp" in f for f in files), files
     assert any("depth_warp" in f for f in files), files
-    assert np.isfinite(scene.depth_gen_split).all()
-    for k, (rays, rgbs, depths) in scene.updates.items():
-        assert len(rays) == len(rgbs) == len(depths)

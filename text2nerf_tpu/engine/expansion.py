@@ -282,18 +282,23 @@ def expand_scene(
         outs = []
         if ex.use_rendered_img_to_warp:
             for n in range(view_idx):
-                outs.append(render_ops.render_chunked(
+                out = render_ops.render_chunked(
                     cfg_model, params, aabb,
                     jnp.asarray(scene.rays_gen_split[n]),
                     n_samples=n_samples, chunk=ex.chunk, app_k=ex.app_k,
                     white_bg=white_bg, alpha_mask=alpha_mask,
                     compact_k=compact_k,
-                ))
+                )
+                # keep only rgb+depth: holding every view's full
+                # RenderOutput would pin the (H*W, K) weights/z_vals
+                # buffers (~hundreds of MB/view at 512²) on device for
+                # the whole loop alongside the 300³ params
+                outs.append((jnp.clip(out.rgb, 0, 1), out.depth))
         for n in range(view_idx):
             if ex.use_rendered_img_to_warp:
-                out = outs[n]
-                rgb = np.asarray(jnp.clip(out.rgb, 0, 1)).reshape(h, w, 3)
-                depth = np.asarray(out.depth).reshape(h, w)
+                rgb_d, depth_d = outs[n]
+                rgb = np.asarray(rgb_d).reshape(h, w, 3)
+                depth = np.asarray(depth_d).reshape(h, w)
                 rgb_j, depth_j = filter_ops.sparse_bilateral_filtering(
                     depth, rgb, filter_size=(7, 5, 5, 3, 3),
                     depth_threshold=0.02, num_iter=5,

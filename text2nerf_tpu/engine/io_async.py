@@ -8,10 +8,14 @@ writer moves them to a background thread so the main thread can keep
 dispatching device work; pending writes drain while the NeRF-fit epochs
 run.
 
-``flush()`` must be called before anything READS the artifacts back or a
-run returns to its caller (trainer.reconstruction flushes before
-returning).  Worker exceptions are re-raised on the next flush — a failed
-artifact write must not be silent.
+``flush(root)`` must be called before anything READS the artifacts back
+or a run returns to its caller (trainer.reconstruction flushes its own
+logfolder before returning).  Worker exceptions are re-raised on the
+next flush — a failed artifact write must not be silent.  Errors are
+attributed to the WRITE PATH: concurrently-running scenes
+(parallel/scene_farm.run_farm_parallel) share the writer thread, and a
+scoped ``flush(root=logfolder)`` only waits for and raises that scene's
+writes, never a sibling's.
 """
 
 from __future__ import annotations
@@ -19,7 +23,7 @@ from __future__ import annotations
 import os
 import queue
 import threading
-from typing import List, Optional
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -27,8 +31,10 @@ import numpy as np
 class AsyncArtifactWriter:
     def __init__(self):
         self._q: "queue.Queue" = queue.Queue()
-        self._errors: List[BaseException] = []
+        self._errors: List[Tuple[str, BaseException]] = []
+        self._pending: Dict[str, int] = {}  # path -> enqueued-not-done count
         self._lock = threading.Lock()
+        self._done = threading.Condition(self._lock)
         self._thread: Optional[threading.Thread] = None
 
     def _ensure_thread(self):
@@ -46,9 +52,16 @@ class AsyncArtifactWriter:
                 if item is None:
                     return
                 path, arr = item
-                _write_image_sync(path, arr)
-            except BaseException as e:  # noqa: BLE001 — re-raised on flush
-                self._errors.append(e)
+                try:
+                    _write_image_sync(path, arr)
+                except BaseException as e:  # noqa: BLE001 — raised on flush
+                    with self._lock:
+                        self._errors.append((path, e))
+                with self._done:
+                    self._pending[path] -= 1
+                    if self._pending[path] <= 0:
+                        del self._pending[path]
+                    self._done.notify_all()
             finally:
                 self._q.task_done()
 
@@ -56,16 +69,26 @@ class AsyncArtifactWriter:
         """Enqueue an image write; the array is copied now so callers may
         mutate their buffer afterwards."""
         self._ensure_thread()
+        with self._lock:
+            self._pending[path] = self._pending.get(path, 0) + 1
         self._q.put((path, np.array(arr, copy=True)))
 
-    def flush(self):
-        """Block until every enqueued write hit disk; re-raise the first
-        worker error if any occurred."""
-        if self._thread is not None:
-            self._q.join()
-        if self._errors:
-            err, self._errors = self._errors[0], []
-            raise err
+    def flush(self, root: Optional[str] = None):
+        """Block until every enqueued write under ``root`` (all writes when
+        None) hit disk; re-raise the first matching worker error."""
+
+        def under(p: str) -> bool:
+            return root is None or os.path.abspath(p).startswith(
+                os.path.abspath(root)
+            )
+
+        with self._done:
+            while any(under(p) for p in self._pending):
+                self._done.wait(timeout=60.0)
+            for i, (p, e) in enumerate(self._errors):
+                if under(p):
+                    del self._errors[i]
+                    raise e
 
 
 def _write_image_sync(path: str, a: np.ndarray):
@@ -88,5 +111,5 @@ def write_async(path: str, arr):
     _writer.write(path, arr)
 
 
-def flush():
-    _writer.flush()
+def flush(root: Optional[str] = None):
+    _writer.flush(root)

@@ -98,24 +98,6 @@ def make_train_state(params, lr_init=0.02, lr_basis=1e-3, factor=1.0,
     return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32)), tx
 
 
-def fast_forward_schedule(opt_state, step: int):
-    """Set every scalar int32 counter in an optax state to ``step``.
-
-    Mid-stage resume support: the per-step exponential LR decay reads the
-    optimizer's count at runtime, so advancing the counters reproduces the
-    decayed LR without changing any compiled constant — the restarted
-    step_fn reuses the cached executable (a scaled-lr rebuild would embed
-    a different schedule constant and recompile).  Adam's moments restart
-    at zero (they rebuild within ~100 steps); the advanced count only
-    weakens their bias correction, which is conservative."""
-    def ff(x):
-        if hasattr(x, "dtype") and x.dtype == jnp.int32 and x.ndim == 0:
-            return jnp.full_like(x, step)
-        return x
-
-    return jax.tree.map(ff, opt_state)
-
-
 def make_train_step(
     cfg: tf.TensoRFConfig,
     tx,

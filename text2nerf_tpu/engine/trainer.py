@@ -290,6 +290,10 @@ def reconstruction(
         )
         log.scalars(0, {"resume_epoch": resume_state["epoch"]})
     else:
+        # overlap the stage-1 train-step compile with the host-side
+        # bootstrap (both multi-minute at production size); the join
+        # timer records any residual compile wait after bootstrap
+        warmup = _start_train_step_warmup(cfg, scene_cfg)
         with phase_timer("bootstrap", log):
             scene = ss.bootstrap_scene(
                 scene_cfg, "train",
@@ -297,6 +301,8 @@ def reconstruction(
                 estimate_depth=services.estimate_depth,
                 log=log,
             )
+        with phase_timer("warmup_join", log):
+            warmup.join()
         mcfg, params, aabb, _ = init_field(cfg, scene)
     white_bg = scene.white_bg
     reso = tf.grid_resolution(mcfg, params)
@@ -433,7 +439,17 @@ def reconstruction(
             and (start_epoch - cfg.n_stage1) % cfg.n_stage2 == 0
             and start_epoch < n_total
         )
+        # the L1_weight_rest switch keys on global_step and will not
+        # re-fire at a restored position past the milestone — re-apply it
+        # before any step_fn rebuild below (or at the live boundary code)
+        l1_switched = bool(
+            cfg.update_alphamask_list
+            and global_step > cfg.update_alphamask_list[0]
+        )
+        if l1_switched:
+            weights = weights._replace(l1=cfg.l1_weight_rest)
         if start_epoch > 0 and not at_boundary:
+            stage3_entry = False
             if start_epoch >= n_total:  # stage 3: every view's pool folded
                 allp = [
                     scene.updates["%05d" % nn] for nn in range(view_idx + 1)
@@ -442,6 +458,10 @@ def reconstruction(
                 pool_new, sampler_new = None, None
                 n_iters_epoch = _epoch_iters(len(pool_pre[0]), cfg.batch_size)
                 decay_iters = n_iters_epoch * max(cfg.n_stage3, 1)
+                # a checkpoint written at the last stage-2 epoch resumes
+                # AT n_total: the live stage-3 schedule reset (the pool
+                # fold branch) is skipped on resume, so reset here
+                stage3_entry = start_epoch == n_total
             elif start_epoch > cfg.n_stage1 and cfg.n_stage2 > 0:
                 # mid-stage-2 for view view_idx
                 prev = [scene.updates["%05d" % nn] for nn in range(view_idx)]
@@ -467,6 +487,30 @@ def reconstruction(
                     else (n_iters_stage1 if n_iters_stage1 > 0 else 1000)
                 )
             factor = ts.lr_factor(cfg.lr_decay_target_ratio, decay_iters)
+            # re-apply the alpha-mask milestone's ray-pool filtering (its
+            # live firing keys on global_step and is already behind us):
+            # rebuild the mask from the restored field and drop alpha-dead
+            # rays, mirroring filtering_rays (tensorBase.py:372-404)
+            if l1_switched:
+                reso_r = tf.grid_resolution(mcfg, params)
+                mask_r, _ = tf.update_alpha_mask(
+                    mcfg, params, aabb, tuple(min(r, 200) for r in reso_r)
+                )
+                keep_pre = np.asarray(render_ops.filter_rays_alpha(
+                    aabb, jnp.asarray(pool_pre[0]), mask_r
+                ))
+                if keep_pre.any() and not keep_pre.all():
+                    pool_pre = tuple(p[keep_pre] for p in pool_pre)
+                if pool_new is not None and len(pool_new[0]) > 0:
+                    keep_new = np.asarray(render_ops.filter_rays_alpha(
+                        aabb, jnp.asarray(pool_new[0]), mask_r
+                    ))
+                    if keep_new.any() and not keep_new.all():
+                        pool_new = tuple(p[keep_new] for p in pool_new)
+                        sampler_new = ts.PermutationSampler(
+                            len(pool_new[0]), cfg.batch_size,
+                            cfg.seed + start_epoch + 1,
+                        )
             sampler_pre = ts.PermutationSampler(
                 len(pool_pre[0]), cfg.batch_size, cfg.seed + start_epoch
             )
@@ -474,11 +518,19 @@ def reconstruction(
                 state.params, cfg.lr_init, cfg.lr_basis, factor,
                 runtime_decay=True,
             )
-            # restore the decayed LR: the runtime-decay step reads
-            # factor**stage_step from the lr_decay scalar, so the compiled
-            # HLO is identical across resumes and Adam's moments restart
-            # with fresh bias correction
-            lr_decay = factor ** stage_step
+            # restore the decayed LR VERBATIM from the checkpoint (the
+            # runtime-decay step reads it from the lr_decay scalar, so the
+            # compiled HLO is identical across resumes and Adam's moments
+            # restart with fresh bias correction).  factor**stage_step is
+            # only the legacy fallback — it loses the non-unit base left
+            # by lr_upsample_reset=False upsample milestones.
+            if stage3_entry:
+                stage_step = 0
+                lr_decay = 1.0
+            else:
+                lr_decay = float(
+                    resume_state.get("lr_decay", factor ** stage_step)
+                )
             step_fn = make_step(tx)
 
     for epoch in range(start_epoch, n_total + cfg.n_stage3):
@@ -496,6 +548,7 @@ def reconstruction(
                 loop_state = {
                     "epoch": epoch, "next_view": view_idx,
                     "tv_decay": tv_decay, "global_step": global_step,
+                    "stage_step": stage_step, "lr_decay": lr_decay,
                 }
                 if orbax:
                     ckpt.save_orbax(resume_ckpt, mcfg, state.params, aabb,
@@ -604,26 +657,25 @@ def reconstruction(
                 alpha_mask, new_aabb = tf.update_alpha_mask(
                     mcfg, state.params, aabb, mask_reso
                 )
-                if (
-                    global_step == cfg.update_alphamask_list[0]
-                    and mcfg.model_name in ("vm_split", "cp")
-                ):
-                    # the fused 'vm' variant has no shrink in the
-                    # reference either (its cubic grid can't crop per-axis)
-                    params_sh, aabb, _ = tf.shrink(
-                        mcfg, state.params, aabb, new_aabb
-                    )
-                    state, tx = ts.make_train_state(
-                        params_sh, cfg.lr_init, cfg.lr_basis, factor,
-                        runtime_decay=True,
-                    )
+                if global_step == cfg.update_alphamask_list[0]:
+                    if mcfg.model_name in ("vm_split", "cp"):
+                        # the fused 'vm' variant has no shrink in the
+                        # reference either (its cubic grid can't crop
+                        # per-axis); only shrink resets the optimizer
+                        params_sh, aabb, _ = tf.shrink(
+                            mcfg, state.params, aabb, new_aabb
+                        )
+                        state, tx = ts.make_train_state(
+                            params_sh, cfg.lr_init, cfg.lr_basis, factor,
+                            runtime_decay=True,
+                        )
+                        stage_step = 0
+                        lr_decay = 1.0
                     # TensoRF's L1_weight_rest rule: the L1 weight switches
-                    # after the first alpha-mask update (train.py upstream;
-                    # e_opt.py:72-73)
+                    # after the first alpha-mask update for EVERY
+                    # decomposition (train.py upstream; e_opt.py:72-73)
                     weights = weights._replace(l1=cfg.l1_weight_rest)
                     step_fn = make_step(tx)
-                    stage_step = 0
-                    lr_decay = 1.0
                 # refilter the ray pools through the fresh mask — the
                 # alpha branch of filtering_rays (tensorBase.py:372-404):
                 # rays that never touch occupied space stop consuming
@@ -733,7 +785,7 @@ def reconstruction(
             loop_state = {
                 "epoch": epoch + 1, "next_view": view_idx + 1,
                 "tv_decay": tv_decay, "global_step": global_step,
-                "stage_step": stage_step,
+                "stage_step": stage_step, "lr_decay": lr_decay,
             }
             if orbax:
                 ckpt.save_orbax(resume_ckpt, mcfg, state.params, aabb,
@@ -799,9 +851,10 @@ def reconstruction(
                 alpha_mask=eval_mask, compact_k=final_compact_k,
             )
 
-    # drain asynchronous DIBR artifact writes before handing the log tree
-    # to the caller (engine/io_async)
-    io_async.flush()
+    # drain THIS scene's asynchronous DIBR artifact writes before handing
+    # the log tree to the caller (engine/io_async; scoped so concurrent
+    # farm scenes neither wait on nor observe each other's writes)
+    io_async.flush(logfolder)
     return mcfg, state.params, aabb, scene, logfolder
 
 
