@@ -21,6 +21,7 @@ from typing import Callable, Dict, Optional, Tuple
 import numpy as np
 import jax.numpy as jnp
 
+from ..utils.atomic_io import atomic_savez
 from ..ops import rays as ray_ops
 from ..ops import splat as splat_ops
 from ..ops import filters as filter_ops
@@ -313,8 +314,7 @@ def save_scene_snapshot(path: str, scene: SceneState):
     """Persist the resumable part of the scene: generated view splits,
     masks, poses.  Ray pools are derived data (support warps are
     deterministic) and get rebuilt on load."""
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    np.savez(
+    atomic_savez(
         path,
         hw=np.asarray(scene.hw),
         intrinsic=np.asarray(scene.intrinsic),

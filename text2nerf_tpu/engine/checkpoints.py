@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.tensorf import TensoRFConfig
+from ..utils.atomic_io import atomic_savez
 
 
 def _flatten(tree, prefix=""):
@@ -92,7 +93,7 @@ def save_checkpoint(
         blobs["__loop_state__"] = np.frombuffer(
             json.dumps(loop_state).encode(), dtype=np.uint8
         )
-    np.savez(path, **blobs)
+    atomic_savez(path, **blobs)
 
 
 def load_checkpoint(path: str):

@@ -29,6 +29,7 @@ import numpy as np
 import optax
 
 from ..models.pix2pix import UnetGenerator, minmax_normalize
+from ..utils.atomic_io import atomic_savez
 
 
 def _nearest_resize(img, size: int):
@@ -223,8 +224,7 @@ def _save_params(path: str, params):
     arrs = {
         "/".join(str(k.key) for k in ks): np.asarray(v) for ks, v in flat
     }
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    np.savez(path, **arrs)
+    atomic_savez(path, **arrs)
 
 
 def _load_params(path: str):

@@ -819,8 +819,9 @@ def convert_sd_checkpoint_dir(ckpt_dir: str, pipeline) -> Optional[dict]:
 
 def save_converted(path: str, tree: dict):
     from ..engine.checkpoints import _flatten
+    from ..utils.atomic_io import atomic_savez
 
-    np.savez(path, **_flatten(tree))
+    atomic_savez(path, **_flatten(tree))
 
 
 def load_converted(weights_path: str) -> Optional[dict]:
