@@ -16,9 +16,12 @@ artifacts (the same layout the reference writes, text2nerf_main.py:80-87):
   re-applied, matching ``append_generated_view``'s inputs up to the PNG
   uint8/uint16 quantization (~4e-3 rgb, ~1e-4 depth).
 
+The scene configuration is read from the run's own ``args.txt`` dump
+(written by trainer.reconstruction); any field can be overridden on the
+command line.
+
 Usage:
-  python tools/rebuild_scene_snapshot.py --logfolder <run log dir> \
-      --datadir <run data dir> --prompt "..." [--views N] [--hw 512]
+  python tools/rebuild_scene_snapshot.py --logfolder <run log dir>
 
 Writes ``<logfolder>/scene_snapshot.npz`` (atomically) after verifying it
 loads through ``load_scene_snapshot``.
@@ -27,6 +30,8 @@ loads through ``load_scene_snapshot``.
 from __future__ import annotations
 
 import argparse
+import ast
+import dataclasses
 import os
 import sys
 
@@ -35,40 +40,71 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main(argv=None):
-    p = argparse.ArgumentParser()
-    p.add_argument("--logfolder", required=True)
-    p.add_argument("--datadir", required=True)
-    p.add_argument("--prompt", required=True)
-    p.add_argument("--hw", type=int, default=512)
-    p.add_argument("--views", type=int, default=4)
-    p.add_argument("--pose_traj", default="circle0_60")
-    p.add_argument("--push_depth", type=float, default=2.0)
-    args = p.parse_args(argv)
+def scene_config_from_args_txt(path: str):
+    """Parse the trainer's args.txt dump back into a SceneConfig."""
+    from text2nerf_tpu.data import scene_state as ss
 
+    fields = {f.name: f for f in dataclasses.fields(ss.SceneConfig)}
+    kw = {}
+    with open(path) as f:
+        for line in f:
+            k, _, v = line.rstrip("\n").partition(":")
+            if k not in fields:
+                continue
+            if fields[k].type in ("str", str):
+                kw[k] = v
+            else:
+                kw[k] = ast.literal_eval(v)
+    return ss.SceneConfig(**kw)
+
+
+def _resume_next_view(logfolder: str):
+    """next_view from the run's resume checkpoint, or None.
+
+    The trainer snapshots the scene BEFORE each expansion (with
+    ``next_view`` pointing at the view about to be generated), so the DIBR
+    tree may hold artifacts for one view NEWER than the checkpointed loop
+    state — recovering that view into the snapshot would make the resumed
+    run append it twice."""
+    for name in os.listdir(logfolder):
+        if name.endswith("_resume.npz"):
+            try:
+                data = np.load(os.path.join(logfolder, name))
+                import json
+
+                ls = json.loads(bytes(data["__loop_state__"].tobytes()).decode())
+                return int(ls["next_view"])
+            except Exception as e:  # noqa: BLE001 — recovery tool, keep going
+                print(f"warning: could not read loop state from {name}: {e}")
+    return None
+
+
+def rebuild(logfolder: str, scene_cfg, max_views=None) -> str:
     import imageio.v2 as imageio
 
     from text2nerf_tpu.data import scene_state as ss
     from text2nerf_tpu.ops import filters as filter_ops
 
-    scene_cfg = ss.SceneConfig(
-        datadir=args.datadir, prompt=args.prompt, pose_traj=args.pose_traj,
-        num_training=args.views, hw=(args.hw, args.hw),
-        push_depth=args.push_depth,
-    )
-    scene = ss.bootstrap_scene(scene_cfg, "train")
-    print(f"bootstrap: view 0 rebuilt from {args.datadir}")
+    if max_views is None:
+        max_views = _resume_next_view(logfolder)
+    if max_views is None:
+        max_views = scene_cfg.num_training
 
-    dibr = os.path.join(args.logfolder, "DIBR")
+    scene = ss.bootstrap_scene(scene_cfg, "train")
+    print(f"bootstrap: view 0 rebuilt from {scene_cfg.datadir}")
+
+    dibr = os.path.join(logfolder, "DIBR")
     v = 1
-    while os.path.isfile(os.path.join(dibr, "rgbs", "%05d.png" % v)):
+    while v < max_views and os.path.isfile(
+        os.path.join(dibr, "rgbs", "%05d.png" % v)
+    ):
         rgb = imageio.imread(
             os.path.join(dibr, "rgbs", "%05d.png" % v)
         ).astype(np.float32) / 255.0
         fin = imageio.imread(
             os.path.join(dibr, "depth", "%05d_depth_finetuning2.png" % v)
         ).astype(np.float32)
-        depth = fin / 12000.0 + args.push_depth
+        depth = fin / 12000.0 + scene_cfg.push_depth
         mask_known = imageio.imread(
             os.path.join(dibr, "mask", "%05d.png" % v)
         ).astype(np.float32) / 255.0
@@ -84,7 +120,7 @@ def main(argv=None):
         print(f"view {v}: recovered from DIBR artifacts")
         v += 1
 
-    snap = os.path.join(args.logfolder, "scene_snapshot.npz")
+    snap = os.path.join(logfolder, "scene_snapshot.npz")
     ss.save_scene_snapshot(snap, scene)
     # verify it round-trips with the pools the trainer will ask for
     restored = ss.load_scene_snapshot(
@@ -93,6 +129,31 @@ def main(argv=None):
     )
     assert restored.rgbs_gen_split.shape[0] == v, restored.rgbs_gen_split.shape
     print(f"wrote {snap}: {v} views, load-verified")
+    return snap
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--logfolder", required=True)
+    p.add_argument("--datadir", help="override args.txt datadir")
+    p.add_argument("--prompt", help="override args.txt prompt")
+    p.add_argument("--max_views", type=int, default=None,
+                   help="recover only views < max_views (default: the "
+                        "resume checkpoint's next_view)")
+    args = p.parse_args(argv)
+
+    args_txt = os.path.join(args.logfolder, "args.txt")
+    if not os.path.isfile(args_txt):
+        p.error(f"{args_txt} not found — cannot infer the scene config")
+    scene_cfg = scene_config_from_args_txt(args_txt)
+    overrides = {
+        k: v
+        for k, v in (("datadir", args.datadir), ("prompt", args.prompt))
+        if v is not None
+    }
+    if overrides:
+        scene_cfg = dataclasses.replace(scene_cfg, **overrides)
+    rebuild(args.logfolder, scene_cfg, max_views=args.max_views)
     return 0
 
 
