@@ -42,6 +42,9 @@ def main(argv=None):
     p.add_argument("--eval_every", type=int, default=10 ** 6,
                    help="epoch interval for intermediate evals (default: "
                         "stage boundaries only)")
+    p.add_argument("--retries", type=int, default=0,
+                   help="in-process resume-and-retry count for transient "
+                        "failures (tunnel flaps)")
     args = p.parse_args(argv)
 
     from text2nerf_tpu.data import scene_state as ss
@@ -76,9 +79,25 @@ def main(argv=None):
     )
 
     t0 = time.time()
-    mcfg, params, aabb, scene, logfolder = trainer.reconstruction(
-        train_cfg, scene_cfg, services, exp_cfg
-    )
+    # in-process retry: the periodic resume checkpoints (atomic, see
+    # utils/atomic_io) make reconstruction restartable after tunnel
+    # flaps / transient device errors; SIGKILL-level deaths still need an
+    # external loop re-running this command (resume picks up the same way)
+    for attempt in range(args.retries + 1):
+        try:
+            mcfg, params, aabb, scene, logfolder = trainer.reconstruction(
+                train_cfg, scene_cfg, services, exp_cfg
+            )
+            break
+        except Exception:
+            if attempt == args.retries:
+                raise
+            import traceback
+
+            traceback.print_exc()
+            print(f"attempt {attempt + 1} failed; resuming in 60 s",
+                  flush=True)
+            time.sleep(60)
     wall_min = (time.time() - t0) / 60.0
 
     import jax.numpy as jnp
