@@ -240,3 +240,78 @@ def test_train_compact_wrapper_guard():
         pass
     else:
         raise AssertionError("expected ValueError for unlicensed stride")
+
+
+# ---------------------------------------------------------------------------
+# Depth-band mask stamping (train-compaction soundness, PERF.md round 3)
+# ---------------------------------------------------------------------------
+
+
+def test_stamp_alpha_mask_marks_depth_band():
+    mask = {
+        "volume": jnp.zeros((24, 24, 24), jnp.float32),
+        "aabb": AABB, "pool": 5,
+    }
+    # one +z ray from the origin, supervised depth 2.0 → world point
+    # (0, 0, 2): voxel (x=11..12, y=11..12, z=18)
+    rays = np.array([[0, 0, -2, 0, 0, 1.0]], np.float32)
+    depth = np.array([4.0], np.float32)  # o + d*4 = (0,0,2)
+    out = tf.stamp_alpha_mask(mask, rays, depth, band_voxels=1)
+    vol = np.asarray(out["volume"])  # [z, y, x]
+    assert out["pool"] == 5
+    iz = round((2.0 + 4) / 8 * 23)   # z=2 → index 17
+    assert vol[iz, 12, 12] == 1.0
+    # dilation: band(1) + pool radius(2) = ±3 voxels
+    assert vol[iz - 3, 12, 12] == 1.0 and vol[iz + 3, 12, 12] == 1.0
+    assert vol[iz, 12 + 3, 12] == 1.0
+    # far away stays dead
+    assert vol[2, 12, 12] == 0.0 and vol[iz, 2, 2] == 0.0
+    # original mask untouched
+    assert float(np.asarray(mask["volume"]).sum()) == 0.0
+
+
+def test_stamp_empty_pool_is_identity():
+    mask = _ones_mask()
+    out = tf.stamp_alpha_mask(
+        mask, np.zeros((0, 6), np.float32), np.zeros((0,), np.float32)
+    )
+    assert out is mask
+
+
+def test_compacted_step_grows_content_only_with_stamp():
+    """The round-3 quality collapse, reduced: content at a depth the mask
+    marks dead cannot be learned by the compacted step; stamping the
+    supervised depth band restores growth (tf.stamp_alpha_mask)."""
+    params, mask = _slab_field_and_mask(pool=5)  # live only in z∈(2.4,3.2)
+    rays = np.array(_rays(64))
+    rays[:, :3] = [0.0, 0.0, -3.9]
+    rays[:, 3:] = [0.0, 0.0, 1.0]
+    rays = jnp.asarray(rays)
+    # supervise content at z = -2 (depth 1.9 from o) — dead in the mask
+    batch = {
+        "rays": rays,
+        "rgb": jnp.full((64, 3), 0.2, jnp.float32),
+        "depth": jnp.full((64,), 1.9, jnp.float32),
+    }
+    w = ts.LossWeights(depth=1.0, transmittance=0.0, tv_density=0, tv_app=0)
+
+    def fit(m):
+        state, tx = ts.make_train_state(params, lr_init=0.05, factor=1.0)
+        step = ts.make_train_step(
+            CFG, tx, n_samples=S, app_k=16, white_bg=True, weights=w,
+            compact_k=32,
+        )
+        key = jax.random.PRNGKey(0)
+        metrics = None
+        for i in range(40):
+            key, k = jax.random.split(key)
+            state, metrics = step(state, AABB, batch, k, alpha_mask=m)
+        return float(metrics["depth_loss"])
+
+    loss_frozen = fit(mask)
+    stamped = tf.stamp_alpha_mask(
+        mask, np.asarray(rays), np.full((64,), 1.9, np.float32)
+    )
+    loss_stamped = fit(stamped)
+    # frozen support: the depth loss cannot move toward the dead region
+    assert loss_stamped < 0.25 * loss_frozen, (loss_frozen, loss_stamped)

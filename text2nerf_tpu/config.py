@@ -172,6 +172,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--train_density_group", type=int, default=2,
                    help="TPU-native: ray-consecutive samples per grouped "
                    "density gather/scatter row (1 = per-sample; PERF.md)")
+    p.add_argument("--train_compact_k", type=int, default=64,
+                   help="TPU-native: alpha-mask train compaction — once a "
+                   "mask exists, gather/scatter only the first K mask-live "
+                   "samples per ray (0 = dense; PERF.md round 3)")
     p.add_argument("--train_microbatch", type=int, default=32,
                    help="TPU-native: gradient micro-batch count inside the "
                    "jitted train step (PERF.md)")
@@ -254,6 +258,7 @@ def to_configs(args):
         l1_weight_rest=args.L1_weight_rest,
         add_timestamp=bool(args.add_timestamp),
         train_density_group=args.train_density_group,
+        train_compact_k=args.train_compact_k,
         train_microbatch=args.train_microbatch,
         train_compute_dtype=args.train_compute_dtype,
         resume_every_epochs=args.resume_every_epochs,

@@ -106,8 +106,15 @@ class TrainConfig:
     # ray (render_rays_train_compact; semantics = the reference's masked
     # culling, tensorBase.py:451-456, + tail truncation past K).  Cuts
     # the scatter-bound backward by the mask's live fraction; 0 disables.
-    # Stage 1 (no mask yet) always runs dense.
-    train_compact_k: int = 0
+    # Stage 1 (no mask yet) always runs dense.  Measured 528.5 → 378.6
+    # ms/step (−28%) at the production config on a trained 5.6%-occupancy
+    # mask — but ONLY sound when the mask covers everywhere the remaining
+    # training must grow density: the trainer stamps the incoming view's
+    # depth-band voxels into the mask at each stage boundary
+    # (stamp_alpha_mask) to license it; without the stamp, new-view
+    # content cannot grow in dead-masked voxels and quality collapses
+    # (PERF.md round 3 A/B).
+    train_compact_k: int = 64
     seed: int = 1024
     model: tf.TensoRFConfig = dataclasses.field(default_factory=tf.TensoRFConfig)
     # TensoRF coarse-to-fine machinery (upsamp_list / update_AlphaMask_list,
@@ -371,18 +378,30 @@ def reconstruction(
         """The alpha mask for train compaction, or None when disabled /
         not yet built / the mask's dilation cannot license the group-
         strided occupancy test (render_rays_train_compact's guard).
-        Memoized per mask rebuild — the guard does host-side readbacks."""
+
+        CRITICAL: compaction freezes the density field's SUPPORT, so the
+        mask must be STAMPED with the in-flight view's supervised depth
+        band (tf.stamp_alpha_mask) — without it the new view's content
+        cannot grow in dead-masked voxels and per-view quality collapses
+        (PERF.md round-3 A/B).  Keyed on (mask, pool) identity so every
+        mask-rebuild site and every pool change re-stamps.  The guard
+        does host-side readbacks, hence the memoization."""
         if cfg.train_compact_k <= 0 or eval_mask is None:
             return None
-        mkey = id(eval_mask)
+        mkey = (id(eval_mask), id(pool_new))
         if mkey not in _tm_cache:
             g, _ = current_group()
             ok = g == 1 or render_ops.occupancy_stride_safe(
                 mcfg, state.params, aabb, eval_mask, g
             )
+            m = None
+            if ok:
+                m = eval_mask
+                if pool_new is not None and len(pool_new[0]) > 0:
+                    m = tf.stamp_alpha_mask(m, pool_new[0], pool_new[2])
             _tm_cache.clear()
-            _tm_cache[mkey] = ok
-        return eval_mask if _tm_cache[mkey] else None
+            _tm_cache[mkey] = m
+        return _tm_cache[mkey]
 
     # runtime_decay: the LR schedule lives in a per-step scalar (lr_decay,
     # tracked like tv_decay) instead of a compiled constant — ONE train-step
@@ -532,6 +551,16 @@ def reconstruction(
                     resume_state.get("lr_decay", factor ** stage_step)
                 )
             step_fn = make_step(tx)
+            if start_epoch >= cfg.n_stage1 and (
+                cfg.train_compact_k > 0 or cfg.eval_compact_k > 0
+            ):
+                # stage-2/3 mid-stage resume: rebuild the mask from the
+                # restored field so the resumed epochs keep the compacted
+                # train/eval paths (train_mask_arg re-stamps the in-flight
+                # view's depth band on top; stage-1 resumes stay dense —
+                # the seed content is still growing and has no stamp
+                # source)
+                eval_mask = rebuild_eval_mask()
 
     for epoch in range(start_epoch, n_total + cfg.n_stage3):
         # --- stage-boundary: expand the scene ------------------------------

@@ -23,11 +23,13 @@ vecMode = [2,1,0] (tensorBase.py:190-191), i.e. plane i spans world axes
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.grid_sample import (
     grid_sample_1d,
@@ -668,6 +670,80 @@ def update_alpha_mask(cfg: TensoRFConfig, params, aabb, grid_size, pool: int = 3
     # an entirely-empty mask (early training) falls back to the full AABB
     new_aabb = jnp.where(jnp.isnan(new_aabb), jnp.asarray(aabb), new_aabb)
     return {"volume": vol, "aabb": jnp.asarray(aabb), "pool": int(pool)}, new_aabb
+
+
+@functools.partial(
+    jax.jit, static_argnames=("band_voxels", "z_samples", "pool")
+)
+def _stamp_volume(volume, aabb, rays, depth, band_voxels, z_samples, pool):
+    o, d = rays[:, :3], rays[:, 3:6]
+    dz, hz, wz = volume.shape  # [z, y, x]
+    aabb = jnp.asarray(aabb)
+    # band half-width in world units: band_voxels of the COARSEST mask axis
+    # (conservative for anisotropic grids)
+    vox = jnp.max((aabb[1] - aabb[0]) / jnp.asarray([wz, hz, dz], volume.dtype))
+    offs = jnp.linspace(-band_voxels * vox, band_voxels * vox, z_samples)
+    pts = o[:, None] + d[:, None] * (depth[:, None] + offs[None, :])[..., None]
+    pts = pts.reshape(-1, 3)
+    xn = jnp.clip(normalize_coord(aabb, pts), -1.0, 1.0)
+    ix = jnp.round((xn[..., 0] + 1) * 0.5 * (wz - 1)).astype(jnp.int32)
+    iy = jnp.round((xn[..., 1] + 1) * 0.5 * (hz - 1)).astype(jnp.int32)
+    iz = jnp.round((xn[..., 2] + 1) * 0.5 * (dz - 1)).astype(jnp.int32)
+    flat_idx = (iz * hz + iy) * wz + ix
+    stamped = (
+        jnp.zeros(dz * hz * wz, volume.dtype)
+        .at[flat_idx]
+        .max(1.0)
+        .reshape(dz, hz, wz)
+    )
+    # dilate: ±band_voxels covers depth-alignment error perpendicular to
+    # the rays; the extra pool radius keeps the ±r invariant that licenses
+    # strided occupancy tests (render_rays_compact)
+    k = 2 * (band_voxels + (pool - 1) // 2) + 1
+    stamped = jax.lax.reduce_window(
+        stamped, -jnp.inf, jax.lax.max, (k, k, k), (1, 1, 1), "SAME"
+    )
+    return jnp.maximum(volume, stamped)
+
+
+def stamp_alpha_mask(
+    mask, rays, depth, band_voxels: int = 2, z_samples: int = 5,
+    max_rays: int = 1 << 20,
+):
+    """Mark a depth band around supervised rays live in the alpha mask.
+
+    TRAIN-compaction soundness (PERF.md round 3): compacting the train
+    step to mask-live samples freezes the density field's SUPPORT — a
+    mask built before a new view is fit is dead exactly where that view's
+    content must grow, and the view can never be learned (measured:
+    per-view PSNR collapse).  The reference never masks its training loop
+    for this reason (SURVEY §3.1 "alphaMask never set here").  The fix:
+    the incoming view's supervised depth tells us where content will
+    grow — stamp a ±``band_voxels`` band around each training ray's depth
+    point (dilated by the mask's pool radius so the pooled volume keeps
+    the dilation invariant that licenses strided occupancy testing).
+
+    ``rays``/``depth``: the view's training pool ((N, 6), (N,)); ray
+    direction parameterization matches the depth values (ray_utils
+    convention).  Subsamples to ``max_rays`` fixed points so one compile
+    serves every view.
+    """
+    rays = np.asarray(rays)
+    depth = np.asarray(depth)
+    n = rays.shape[0]
+    if n == 0:
+        return mask
+    k = min(n, max_rays)
+    sel = np.linspace(0, n - 1, k).astype(np.int64)
+    vol = _stamp_volume(
+        jnp.asarray(mask["volume"]), jnp.asarray(mask["aabb"]),
+        jnp.asarray(rays[sel]), jnp.asarray(depth[sel]),
+        band_voxels=int(band_voxels), z_samples=int(z_samples),
+        pool=int(mask.get("pool", 3)),
+    )
+    out = dict(mask)
+    out["volume"] = vol
+    return out
 
 
 # ---------------------------------------------------------------------------
