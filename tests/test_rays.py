@@ -132,3 +132,24 @@ def test_ndc_rays_both_conventions(rng):
                 h, w, focal, near, jnp.asarray(onear), jnp.asarray(dnear)
             )
             np.testing.assert_allclose(float(ro2[0, 2]), -1.0, atol=1e-6)
+
+
+def test_rays_split_np_matches_jax_path(rng):
+    """Host-numpy pool ray builder ≡ ray_directions + rays_from_poses."""
+    h, w = 14, 18
+    intr = (21.0, 19.5, 9.2, 6.8)
+    poses = np.stack([np.eye(4, dtype=np.float32) for _ in range(3)])
+    # random valid c2w rotations + translations
+    for v in range(3):
+        a, b, c = rng.normal(size=3) * 0.4
+        Rx = np.array([[1, 0, 0], [0, np.cos(a), -np.sin(a)], [0, np.sin(a), np.cos(a)]])
+        Ry = np.array([[np.cos(b), 0, np.sin(b)], [0, 1, 0], [-np.sin(b), 0, np.cos(b)]])
+        Rz = np.array([[np.cos(c), -np.sin(c), 0], [np.sin(c), np.cos(c), 0], [0, 0, 1]])
+        poses[v, :3, :3] = (Rx @ Ry @ Rz).astype(np.float32)
+        poses[v, :3, 3] = rng.normal(size=3).astype(np.float32)
+    dirs = R.ray_directions(h, w, intr[:2], intr[2:])
+    ref = np.asarray(R.rays_from_poses(dirs, jnp.asarray(poses)))
+    got = R.rays_split_np(poses, intr, h, w)
+    assert got.shape == (3, h * w, 6)
+    assert got.dtype == np.float32
+    np.testing.assert_allclose(got.reshape(ref.shape), ref, atol=1e-6)

@@ -136,3 +136,42 @@ def test_warp_one_to_many_white_background():
     out = np.asarray(rgbs[0])
     assert (m == 0).sum() > 10
     np.testing.assert_allclose(out[m == 0], 1.0, atol=1e-6)
+
+
+def test_warp_with_mask_matches_double_call():
+    """warp_one_to_many_with_mask ≡ two warp_one_to_many calls (bit-level):
+    full-content rgb/mask/depth from the unmasked call, extra coverage from
+    the mask-restricted call's second output."""
+    rng = np.random.default_rng(5)
+    h = w = 48
+    rgb = rng.uniform(0, 1, (h, w, 3)).astype(np.float32)
+    depth = (3.0 + rng.uniform(0, 2, (h, w))).astype(np.float32)
+    extra = (rng.random((h, w)) > 0.6).astype(np.float32)
+    pose_src = np.eye(4, dtype=np.float32)
+    poses_tar = np.stack([np.eye(4, dtype=np.float32) for _ in range(3)])
+    poses_tar[0, 0, 3] = 0.15
+    poses_tar[1, 1, 3] = -0.1
+    poses_tar[2, 2, 3] = 0.2
+    kk = (48.0, 48.0, 24.0, 24.0)
+
+    ref_rgb, ref_m, ref_d = splat.warp_one_to_many(
+        jnp.asarray(rgb), jnp.asarray(depth), jnp.asarray(pose_src),
+        jnp.asarray(poses_tar), kk,
+    )
+    _, ref_me, _ = splat.warp_one_to_many(
+        jnp.asarray(rgb), jnp.asarray(depth), jnp.asarray(pose_src),
+        jnp.asarray(poses_tar), kk, mask=jnp.asarray(extra),
+    )
+    got_rgb, got_m, got_d, got_me = splat.warp_one_to_many_with_mask(
+        rgb, depth, pose_src, poses_tar, kk, extra_mask=extra
+    )
+    # rgb/depth: one program vs two — XLA fusion differences leave ≤1-ulp
+    # float noise; coverage masks must stay bit-exact
+    np.testing.assert_allclose(
+        np.asarray(got_rgb), np.asarray(ref_rgb), atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(got_m), np.asarray(ref_m))
+    np.testing.assert_allclose(
+        np.asarray(got_d), np.asarray(ref_d), atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(got_me), np.asarray(ref_me))

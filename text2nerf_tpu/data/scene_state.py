@@ -39,9 +39,10 @@ def formatted_ray_pool(images, depths, masks, poses, intrinsic, h, w):
     Returns (rays [M,6], rgbs [M,3], depths [M],
              rays_split [N,H*W,6], rgbs_split [N,H,W,3], depths_split [N,H,W]).
     """
-    fx, fy, cx, cy = intrinsic
-    dirs = ray_ops.ray_directions(h, w, (fx, fy), (cx, cy))
-    rays_split = np.asarray(ray_ops.rays_from_poses(dirs, jnp.asarray(poses)))
+    # host-numpy ray generation (rays_split_np): the pools are numpy and
+    # a device round-trip costs a ~2 s readback per support set on the
+    # tunneled chip (PERF.md round 3)
+    rays_split = ray_ops.rays_split_np(poses, intrinsic, h, w)
 
     images = np.asarray(images, np.float32)
     depths = np.asarray(depths, np.float32)
@@ -66,9 +67,7 @@ def formatted_ray_pool(images, depths, masks, poses, intrinsic, h, w):
 
 def test_ray_split(poses, intrinsic, h, w):
     """produce_formatted_data test mode (scene_gen.py:88-98)."""
-    fx, fy, cx, cy = intrinsic
-    dirs = ray_ops.ray_directions(h, w, (fx, fy), (cx, cy))
-    return np.asarray(ray_ops.rays_from_poses(dirs, jnp.asarray(poses)))
+    return ray_ops.rays_split_np(poses, intrinsic, h, w)
 
 
 @dataclasses.dataclass
@@ -351,18 +350,19 @@ def rebuild_view_pool(
                 range_yaw=0.6, range_pitch=0.2,
             )
             mask0 = mask
-        rgbs_w, masks_w, depth_w = splat_ops.warp_one_to_many(
-            jnp.asarray(img), jnp.asarray(depth),
-            jnp.asarray(poses_support[0]), jnp.asarray(poses_support[1:]),
-            scene.intrinsic,
-        )
         if view_idx > 0:
             # masks come from warping only the inpainted region
-            # (text2nerf_main.py:385-387)
-            _, masks_w, _ = splat_ops.warp_one_to_many(
+            # (text2nerf_main.py:385-387) — fused with the content warp
+            rgbs_w, _, depth_w, masks_w = splat_ops.warp_one_to_many_with_mask(
                 jnp.asarray(img), jnp.asarray(depth),
                 jnp.asarray(poses_support[0]), jnp.asarray(poses_support[1:]),
-                scene.intrinsic, mask=jnp.asarray(mask),
+                scene.intrinsic, extra_mask=mask,
+            )
+        else:
+            rgbs_w, masks_w, depth_w = splat_ops.warp_one_to_many(
+                jnp.asarray(img), jnp.asarray(depth),
+                jnp.asarray(poses_support[0]), jnp.asarray(poses_support[1:]),
+                scene.intrinsic,
             )
         images = np.concatenate([img[None], np.asarray(rgbs_w)], 0)
         masks = np.concatenate([mask0[None], np.asarray(masks_w)], 0)

@@ -135,13 +135,9 @@ def _update_known_views(
     pose_new = scene.poses_gen[view_idx]
     prev_poses = scene.poses_gen[:view_idx]
 
-    rgbs_w, _, depth_w = splat_ops.warp_one_to_many(
+    rgbs_w, _, depth_w, masks_w = splat_ops.warp_one_to_many_with_mask(
         jnp.asarray(img_new), jnp.asarray(depth_new), jnp.asarray(pose_new),
-        jnp.asarray(prev_poses), scene.intrinsic,
-    )
-    _, masks_w, _ = splat_ops.warp_one_to_many(
-        jnp.asarray(img_new), jnp.asarray(depth_new), jnp.asarray(pose_new),
-        jnp.asarray(prev_poses), scene.intrinsic, mask=jnp.asarray(inv_mask),
+        jnp.asarray(prev_poses), scene.intrinsic, extra_mask=inv_mask,
     )
     rgbs_gen = np.array(scene.rgbs_gen_split)
     depth_gen = np.array(scene.depth_gen_split)
@@ -188,15 +184,10 @@ def _update_known_views(
                 scene.poses_gen[ii], angle=0, range_center=ex.trans_range,
                 range_yaw=0.6, range_pitch=0.2,
             )
-            r_w, _, d_w = splat_ops.warp_one_to_many(
+            r_w, _, d_w, m_w = splat_ops.warp_one_to_many_with_mask(
                 jnp.asarray(img_f), jnp.asarray(depth_f),
                 jnp.asarray(poses_support[0]), jnp.asarray(poses_support[1:]),
-                scene.intrinsic,
-            )
-            _, m_w, _ = splat_ops.warp_one_to_many(
-                jnp.asarray(img_f), jnp.asarray(depth_f),
-                jnp.asarray(poses_support[0]), jnp.asarray(poses_support[1:]),
-                scene.intrinsic, mask=jnp.asarray(inpaint_mask_ii),
+                scene.intrinsic, extra_mask=inpaint_mask_ii,
             )
             imgs = np.concatenate([img_f[None], np.asarray(r_w)], 0)
             msks = np.concatenate([inpaint_mask_ii[None], np.asarray(m_w)], 0)
@@ -440,15 +431,10 @@ def expand_scene(
                 scene.poses_gen[view_idx], angle=0, range_center=ex.trans_range,
                 range_yaw=0.6, range_pitch=0.2,
             )
-            rgbs_w, _, depth_w = splat_ops.warp_one_to_many(
+            rgbs_w, _, depth_w, masks_w = splat_ops.warp_one_to_many_with_mask(
                 jnp.asarray(img_new), jnp.asarray(depth_new),
                 jnp.asarray(poses_support[0]), jnp.asarray(poses_support[1:]),
-                scene.intrinsic,
-            )
-            _, masks_w, _ = splat_ops.warp_one_to_many(
-                jnp.asarray(img_new), jnp.asarray(depth_new),
-                jnp.asarray(poses_support[0]), jnp.asarray(poses_support[1:]),
-                scene.intrinsic, mask=jnp.asarray(inpaint_mask),
+                scene.intrinsic, extra_mask=inpaint_mask,
             )
             images = np.concatenate([img_new[None], np.asarray(rgbs_w)], 0)
             masks = np.concatenate([inpaint_mask[None], np.asarray(masks_w)], 0)

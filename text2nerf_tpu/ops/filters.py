@@ -104,6 +104,42 @@ def discontinuity_median_filter(values, discontinuity, window: int):
     return out
 
 
+@functools.partial(
+    jax.jit, static_argnames=("filter_size", "num_iter", "has_mask")
+)
+def _sparse_bilateral_program(
+    depth, image, mask, depth_threshold, filter_size, num_iter, has_mask
+):
+    """The full sparse-bilateral iteration as ONE compiled program.
+
+    The op sequence is identical to running the driver eagerly; fusing
+    the whole loop collapses ~25 dispatches/iteration into one device
+    call — on the tunneled TPU, dispatch latency (not compute) dominates
+    the eager version (PERF.md round 3).
+    """
+    depth0 = depth
+    vis_depth = depth0
+    vis_image = image
+    for i in range(num_iter - 1):
+        win = filter_size[i]
+        u, b, l, r = depth_discontinuity(
+            vis_depth, depth_threshold, mask if has_mask else None
+        )
+        disc = jnp.clip(u + b + l + r, 0.0, 1.0)
+        disc = jnp.where(depth0 == 0, 1.0, disc)
+        if has_mask:
+            disc = jnp.where(mask == 0, 0.0, disc)
+        vis_depth = discontinuity_median_filter(vis_depth, disc, win)
+        vis_image = jnp.stack(
+            [
+                discontinuity_median_filter(vis_image[..., c], disc, win)
+                for c in range(vis_image.shape[-1])
+            ],
+            axis=-1,
+        )
+    return vis_image, vis_depth
+
+
 def sparse_bilateral_filtering(
     depth,
     image,
@@ -116,29 +152,26 @@ def sparse_bilateral_filtering(
 
     Mirrors sparse_bilateral_filtering (bilateral_filtering.py:5-35)
     including the reference's save-before-filter behavior: the returned
-    state has ``num_iter - 1`` filter applications applied.
+    state has ``num_iter - 1`` filter applications applied.  Runs as a
+    single jitted program keyed on (shape, filter_size, num_iter).
 
     Returns (image', depth') as jnp arrays.
     """
+    if np.isscalar(filter_size):
+        filter_size = (int(filter_size),) * max(num_iter - 1, 0)
+    fs = tuple(int(w) for w in filter_size)[: max(num_iter - 1, 0)]
     depth0 = jnp.asarray(depth, jnp.float32)
-    vis_depth = depth0
-    vis_image = jnp.asarray(image, jnp.float32)
-    for i in range(num_iter - 1):
-        win = filter_size[i] if not np.isscalar(filter_size) else filter_size
-        u, b, l, r = depth_discontinuity(vis_depth, depth_threshold, mask)
-        disc = jnp.clip(u + b + l + r, 0.0, 1.0)
-        disc = jnp.where(depth0 == 0, 1.0, disc)
-        if mask is not None:
-            disc = jnp.where(jnp.asarray(mask) == 0, 0.0, disc)
-        vis_depth = discontinuity_median_filter(vis_depth, disc, int(win))
-        vis_image = jnp.stack(
-            [
-                discontinuity_median_filter(vis_image[..., c], disc, int(win))
-                for c in range(vis_image.shape[-1])
-            ],
-            axis=-1,
-        )
-    return vis_image, vis_depth
+    image0 = jnp.asarray(image, jnp.float32)
+    has_mask = mask is not None
+    m = (
+        jnp.asarray(mask, jnp.float32)
+        if has_mask
+        else jnp.zeros((), jnp.float32)
+    )
+    return _sparse_bilateral_program(
+        depth0, image0, m, depth_threshold,
+        filter_size=fs, num_iter=int(num_iter), has_mask=has_mask,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("window",))
@@ -177,38 +210,58 @@ def range_median_filter(values, discontinuity, window: int,
     return out
 
 
+@functools.partial(
+    jax.jit, static_argnames=("filter_size", "num_iter", "has_mask")
+)
+def _sparse_bilateral_edge_program(
+    depth, image, mask, threshold, filter_size, num_iter, has_mask
+):
+    depth0 = depth
+    vis_depth = depth0
+    vis_image = image
+    gray_w = jnp.asarray([0.299, 0.587, 0.114])
+    for i in range(num_iter - 1):
+        win = filter_size[i]
+        gray = jnp.tensordot(vis_image, gray_w, axes=(-1, 0))
+        u, b, l, r = depth_discontinuity(
+            gray, threshold, mask if has_mask else None, use_disparity=False
+        )
+        disc = jnp.clip(u + b + l + r, 0.0, 1.0)
+        disc = jnp.where(depth0 == 0, 1.0, disc)
+        if has_mask:
+            disc = jnp.where(mask == 0, 0.0, disc)
+        vis_depth = range_median_filter(vis_depth, disc, win)
+        vis_image = jnp.stack(
+            [
+                range_median_filter(vis_image[..., c], disc, win)
+                for c in range(vis_image.shape[-1])
+            ],
+            axis=-1,
+        )
+    return vis_image, vis_depth
+
+
 def sparse_bilateral_filtering_image_edge(
     depth, image, filter_size=(5, 5, 3, 3), threshold: float = 0.1,
     num_iter: int = 4, mask=None,
 ):
     """Image-gradient-driven variant (sparse_bilateral_filtering_4imgedge,
     bilateral_filtering.py:37-69): discontinuities come from the grayscale
-    image edges; filtering uses the spatial+range kernel."""
-    import numpy as np
-
-    depth0 = jnp.asarray(depth, jnp.float32)
-    vis_depth = depth0
-    vis_image = jnp.asarray(image, jnp.float32)
-    gray_w = jnp.asarray([0.299, 0.587, 0.114])
-    for i in range(num_iter - 1):
-        win = filter_size[i] if not np.isscalar(filter_size) else filter_size
-        gray = jnp.tensordot(vis_image, gray_w, axes=(-1, 0))
-        u, b, l, r = depth_discontinuity(
-            gray, threshold, mask, use_disparity=False
-        )
-        disc = jnp.clip(u + b + l + r, 0.0, 1.0)
-        disc = jnp.where(depth0 == 0, 1.0, disc)
-        if mask is not None:
-            disc = jnp.where(jnp.asarray(mask) == 0, 0.0, disc)
-        vis_depth = range_median_filter(vis_depth, disc, int(win))
-        vis_image = jnp.stack(
-            [
-                range_median_filter(vis_image[..., c], disc, int(win))
-                for c in range(vis_image.shape[-1])
-            ],
-            axis=-1,
-        )
-    return vis_image, vis_depth
+    image edges; filtering uses the spatial+range kernel.  One jitted
+    program, like :func:`sparse_bilateral_filtering`."""
+    if np.isscalar(filter_size):
+        filter_size = (int(filter_size),) * max(num_iter - 1, 0)
+    fs = tuple(int(w) for w in filter_size)[: max(num_iter - 1, 0)]
+    has_mask = mask is not None
+    m = (
+        jnp.asarray(mask, jnp.float32)
+        if has_mask
+        else jnp.zeros((), jnp.float32)
+    )
+    return _sparse_bilateral_edge_program(
+        jnp.asarray(depth, jnp.float32), jnp.asarray(image, jnp.float32), m,
+        threshold, filter_size=fs, num_iter=int(num_iter), has_mask=has_mask,
+    )
 
 
 # ---------------------------------------------------------------------------

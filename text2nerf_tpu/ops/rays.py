@@ -14,6 +14,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def pixel_centers(h: int, w: int, dtype=jnp.float32):
@@ -101,6 +102,36 @@ def rays_from_poses(directions, c2ws):
         return jnp.concatenate([o, d], axis=-1)
 
     return jax.vmap(one)(c2ws)
+
+
+def rays_split_np(poses, intrinsic, h: int, w: int) -> "np.ndarray":
+    """Host-numpy mirror of ``ray_directions`` + ``rays_from_poses``.
+
+    Returns (V, H*W, 6) [o|d] float32 — the training-pool layout.  Same
+    math as the jax path (pixel centers +0.5, fp32 L2-normalized
+    directions, rotation at float64 ≈ Precision.HIGHEST), computed on the
+    host: the pool builders consume numpy, and a device round-trip here
+    costs a ~2 s HBM→host transfer per support set on the tunneled
+    single-chip setup (PERF.md round 3).  Golden-tested against the jax
+    version (tests/test_rays.py).
+    """
+    fx, fy, cx, cy = (float(x) for x in intrinsic)
+    jj, ii = np.meshgrid(
+        np.arange(h, dtype=np.float32) + 0.5,
+        np.arange(w, dtype=np.float32) + 0.5,
+        indexing="ij",
+    )
+    dirs = np.stack(
+        [(ii - cx) / fx, (jj - cy) / fy, np.ones_like(ii)], axis=-1
+    ).reshape(-1, 3)
+    dirs = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+    dirs64 = dirs.astype(np.float64)
+    poses = np.asarray(poses, np.float64).reshape(-1, *np.asarray(poses).shape[-2:])
+    out = np.empty((poses.shape[0], h * w, 6), np.float32)
+    for v in range(poses.shape[0]):
+        out[v, :, 0:3] = poses[v, :3, 3].astype(np.float32)
+        out[v, :, 3:6] = (dirs64 @ poses[v, :3, :3].T).astype(np.float32)
+    return out
 
 
 @functools.partial(

@@ -183,6 +183,63 @@ def warp_one_to_many(
     return jax.vmap(one)(jnp.asarray(poses_tar))
 
 
+@jax.jit
+def _warp_many_with_mask(frame, depth, extra_mask, pose_src, poses_tar, k):
+    h, w = depth.shape
+    ones = jnp.ones((h, w), jnp.float32)
+    w2c_src = jnp.linalg.inv(pose_src)
+
+    def one(pose_tar):
+        w2c_tar = jnp.linalg.inv(pose_tar)
+        trans = transform_points(depth, w2c_src, w2c_tar, k, k)
+        z = trans[..., 2]
+        pos = trans[..., :2] / z[..., None]
+        warped, m2 = bilinear_splat(frame, ones, z, pos, is_image=True)
+        wdepth, _ = bilinear_splat(z[..., None], ones, z, pos, is_image=False)
+        # coverage of the extra-mask-restricted content: bilinear_splat's
+        # mask2 depends only on the gated weights, not the splatted frame,
+        # so this equals warp_one_to_many(mask=extra_mask)'s second output
+        _, m_extra = bilinear_splat(
+            extra_mask[..., None], extra_mask, z, pos, is_image=False
+        )
+        mf = m2.astype(jnp.float32)
+        out = warped * mf[..., None] + 255.0 * (1.0 - mf[..., None])
+        return (
+            out / 255.0,
+            m2.astype(jnp.int32),
+            wdepth[..., 0],
+            m_extra.astype(jnp.int32),
+        )
+
+    return jax.vmap(one)(poses_tar)
+
+
+def warp_one_to_many_with_mask(
+    rgb01, depth, pose_src, poses_tar, intrinsic, extra_mask
+):
+    """Fused double warp: full-content RGBD warp PLUS the coverage map of
+    ``extra_mask``-restricted content, sharing the reprojection.
+
+    Equivalent to ``warp_one_to_many(...)`` followed by
+    ``warp_one_to_many(..., mask=extra_mask)`` keeping only the second
+    call's mask output — the pattern in the expansion support-pool /
+    update-known-views paths (text2nerf_main.py:302-334, 379-399) — in ONE
+    device program instead of two full warps.
+
+    Returns (rgbs01 (V,H,W,3), masks (V,H,W) int, depths (V,H,W),
+             masks_extra (V,H,W) int).
+    """
+    k = intrinsic_from_tuple(intrinsic)
+    return _warp_many_with_mask(
+        quantize_u8(rgb01),
+        jnp.asarray(depth),
+        jnp.asarray(extra_mask, jnp.float32),
+        jnp.asarray(pose_src),
+        jnp.asarray(poses_tar),
+        k,
+    )
+
+
 def warp_many_to_one(rgbs01, depths, poses, pose_tar, intrinsic, masks=None):
     """Merge several source views into one target view with first-view
     priority (bilinear_splat_warping_multiview, utils.py:83-119).

@@ -31,6 +31,59 @@ def _prompt_seed(prompt: str) -> int:
     return int.from_bytes(hashlib.sha256(prompt.encode()).digest()[:4], "little")
 
 
+def _cubic_weights(x: np.ndarray, a: float = -0.5) -> np.ndarray:
+    """Keys cubic interpolation kernel (the bicubic resize kernel)."""
+    ax = np.abs(x)
+    return np.where(
+        ax <= 1.0,
+        (a + 2.0) * ax ** 3 - (a + 3.0) * ax ** 2 + 1.0,
+        np.where(
+            ax < 2.0,
+            a * ax ** 3 - 5.0 * a * ax ** 2 + 8.0 * a * ax - 4.0 * a,
+            0.0,
+        ),
+    ).astype(np.float32)
+
+
+def _resize_bicubic_np(grid: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Separable bicubic upsample (half-pixel centers), pure numpy.
+
+    Host-side replacement for jax.image.resize in the fallbacks: a device
+    round-trip per octave costs a tunnel compile on the single-chip TPU
+    setup and dominated the bootstrap_seed_image phase (PERF.md round 3).
+    """
+
+    def along(arr, n_out, axis):
+        n_in = arr.shape[axis]
+        coord = (np.arange(n_out, dtype=np.float64) + 0.5) * n_in / n_out - 0.5
+        base = np.floor(coord).astype(np.int64)
+        taps = base[None, :] + np.arange(-1, 3)[:, None]          # (4, n_out)
+        wts = _cubic_weights(coord[None, :] - taps)               # (4, n_out)
+        wts /= np.maximum(wts.sum(0, keepdims=True), 1e-8)
+        taps = np.clip(taps, 0, n_in - 1)
+        moved = np.moveaxis(arr, axis, 0)
+        out = np.einsum("ko,ko...->o...", wts, moved[taps])
+        return np.moveaxis(out.astype(np.float32), 0, axis)
+
+    g = along(grid.astype(np.float32), h, 0)
+    return along(g, w, 1)
+
+
+def _box_mean_same(x: np.ndarray, k: int) -> np.ndarray:
+    """Zero-padded k×k windowed mean (= SAME conv with a 1/k² kernel)."""
+    p = k // 2
+    xp = np.pad(x.astype(np.float64), p)
+    s = np.pad(np.cumsum(np.cumsum(xp, 0), 1), ((1, 0), (1, 0)))
+    h, w = x.shape
+    win = (
+        s[k : k + h, k : k + w]
+        - s[0:h, k : k + w]
+        - s[k : k + h, 0:w]
+        + s[0:h, 0:w]
+    )
+    return (win / float(k * k)).astype(np.float32)
+
+
 def _value_noise(rng: np.random.Generator, h: int, w: int, octaves=(4, 8, 16, 32)):
     """Smooth multi-octave value noise in [0, 1]."""
     acc = np.zeros((h, w), np.float32)
@@ -38,10 +91,7 @@ def _value_noise(rng: np.random.Generator, h: int, w: int, octaves=(4, 8, 16, 32
     for i, cells in enumerate(octaves):
         amp = 0.5 ** i
         grid = rng.random((cells, cells)).astype(np.float32)
-        up = np.asarray(
-            jax.image.resize(jnp.asarray(grid), (h, w), method="bicubic")
-        )
-        acc += amp * up
+        acc += amp * _resize_bicubic_np(grid, h, w)
         amp_total += amp
     acc /= amp_total
     return np.clip(acc, 0.0, 1.0)
@@ -84,14 +134,10 @@ def procedural_depth(image: np.ndarray, push_depth: float = 2.0) -> np.ndarray:
     """
     h, w = image.shape[:2]
     lum = image.mean(-1).astype(np.float32)
-    # smooth the luminance to avoid depth speckle
-    k = jnp.ones((9, 9), jnp.float32) / 81.0
-    smooth = np.asarray(
-        jax.lax.conv_general_dilated(
-            jnp.asarray(lum)[None, None], k[None, None], (1, 1), "SAME",
-            dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        )[0, 0]
-    )
+    # smooth the luminance to avoid depth speckle — zero-padded 9x9 box
+    # mean via an integral image (host numpy: identical to a SAME conv
+    # with a constant kernel, without a device round-trip)
+    smooth = _box_mean_same(lum, 9)
     y = np.linspace(1.0, 0.0, h, dtype=np.float32)[:, None]  # top far
     depth_rel = 0.5 + 3.5 * (0.7 * y + 0.3 * smooth)  # ~[0.5, 4.5]
     counts = depth_rel * 12000.0
