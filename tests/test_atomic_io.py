@@ -59,3 +59,19 @@ def test_checkpoint_and_snapshot_writes_are_atomic(tmp_path):
 
     assert "atomic_savez" in inspect.getsource(ckpt.save_checkpoint)
     assert "atomic_savez" in inspect.getsource(ss.save_scene_snapshot)
+
+
+def test_atomic_savez_tmp_name_is_fixed_and_orphan_is_replaced(tmp_path):
+    """SIGKILL mid-write skips the finally-cleanup; a FIXED temp name
+    bounds orphans to one per path (review r3: pid-suffixed names piled
+    up one checkpoint-sized orphan per killed attempt)."""
+    path = str(tmp_path / "state.npz")
+    # simulate a kill-orphaned temp from a previous attempt
+    orphan = path + ".tmp"
+    with open(orphan, "wb") as f:
+        f.write(b"truncated garbage")
+    atomic_savez(path, a=np.arange(3))
+    assert not os.path.exists(orphan)          # replaced, not accumulated
+    assert list(np.load(path)["a"]) == [0, 1, 2]
+    leftovers = [n for n in os.listdir(tmp_path) if ".tmp" in n]
+    assert leftovers == []

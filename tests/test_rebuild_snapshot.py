@@ -73,3 +73,31 @@ def test_rebuild_snapshot_restores_resume(tmp_path):
     ]
     assert lines and lines[-1]["resume_epoch"] >= 1
     assert scene2.rgbs_gen_split.shape[0] == 3
+
+
+def test_resume_next_view_reads_both_backends(tmp_path):
+    """_resume_next_view must honor orbax checkpoints too (review r3):
+    a directory named ``*_resume`` with a side loop_state.json — and pick
+    the newest candidate when several exist."""
+    from tools.rebuild_scene_snapshot import _resume_next_view
+
+    log = tmp_path / "log"
+    log.mkdir()
+    # orbax-style: directory + loop_state.json
+    od = log / "exp_resume"
+    od.mkdir()
+    (od / "loop_state.json").write_text(json.dumps({"next_view": 3}))
+    assert _resume_next_view(str(log)) == 3
+
+    # an npz written LATER (newer mtime) wins
+    import time
+
+    time.sleep(0.05)
+    ls = np.frombuffer(json.dumps({"next_view": 2}).encode(), dtype=np.uint8)
+    np.savez(log / "exp2_resume.npz", __loop_state__=ls)
+    os.utime(log / "exp2_resume.npz")
+    assert _resume_next_view(str(log)) == 2
+
+    # unreadable newest candidate falls through to the next one
+    (log / "exp3_resume.npz").write_bytes(b"not a zip")
+    assert _resume_next_view(str(log)) == 2

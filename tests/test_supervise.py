@@ -80,3 +80,41 @@ def test_supervise_exhausts_attempts(tmp_path):
         "--", sys.executable, "-c", "raise SystemExit(3)",
     ])
     assert rc == 1
+
+
+def test_supervise_cold_grace_spares_slow_first_write(tmp_path):
+    """A fresh attempt may spend longer than --stale-sec in bootstrap +
+    cold jit compiles before its FIRST progress write; the cold-grace
+    multiplier must keep the supervisor from killing it (review r3)."""
+    progress = tmp_path / "metrics.jsonl"
+    script = tmp_path / "job.py"
+    script.write_text(textwrap.dedent(f"""
+        import time
+        time.sleep(1.2)
+        open({str(progress)!r}, "a").write("tick\\n")
+    """))
+    rc = main([
+        "--progress", str(progress), "--stale-sec", "0.4",
+        "--cold-grace", "20", "--poll-sec", "0.1",
+        "--retry-delay-sec", "0.1", "--max-attempts", "1",
+        "--", sys.executable, str(script),
+    ])
+    assert rc == 0  # would be killed at 0.4 s without the grace
+
+
+def test_supervise_still_kills_after_first_write(tmp_path):
+    """Once progress HAS been written, the plain --stale-sec applies."""
+    progress = tmp_path / "metrics.jsonl"
+    script = tmp_path / "job.py"
+    script.write_text(textwrap.dedent(f"""
+        import time
+        open({str(progress)!r}, "a").write("tick\\n")
+        time.sleep(60)
+    """))
+    rc = main([
+        "--progress", str(progress), "--stale-sec", "0.5",
+        "--cold-grace", "100", "--poll-sec", "0.1",
+        "--retry-delay-sec", "0.1", "--max-attempts", "1",
+        "--", sys.executable, str(script),
+    ])
+    assert rc == 1  # stalled after the first write → killed, attempts out

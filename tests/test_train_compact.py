@@ -315,3 +315,38 @@ def test_compacted_step_grows_content_only_with_stamp():
     loss_stamped = fit(stamped)
     # frozen support: the depth loss cannot move toward the dead region
     assert loss_stamped < 0.25 * loss_frozen, (loss_frozen, loss_stamped)
+
+
+def test_stamp_selection_shapes_bucket_to_powers_of_two(monkeypatch):
+    """Pool sizes vary per view; the stamp's jit shape must not (review
+    r3): selection sizes round UP to a power of two so a handful of
+    _stamp_volume specializations serve every view."""
+    seen = []
+    real = tf._stamp_volume
+
+    def spy(vol, aabb, rays, depth, **kw):
+        seen.append(rays.shape[0])
+        return real(vol, aabb, rays, depth, **kw)
+
+    monkeypatch.setattr(tf, "_stamp_volume", spy)
+    mask = {
+        "volume": jnp.zeros((8, 8, 8), jnp.float32),
+        "aabb": AABB, "pool": 3,
+    }
+    for n in (3, 5, 700, 900, 1024):
+        rays = np.tile([[0, 0, -2, 0, 0, 1.0]], (n, 1)).astype(np.float32)
+        tf.stamp_alpha_mask(mask, rays, np.full((n,), 4.0, np.float32))
+    assert seen == [4, 8, 1024, 1024, 1024]
+    # duplicates from the padded linspace are harmless (max-reduction):
+    # a 1-ray pool stamps the same voxels as the same ray twice
+    one = tf.stamp_alpha_mask(
+        mask, np.array([[0, 0, -2, 0, 0, 1.0]], np.float32),
+        np.array([4.0], np.float32),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(one["volume"]),
+        np.asarray(tf.stamp_alpha_mask(
+            mask, np.tile([[0, 0, -2, 0, 0, 1.0]], (2, 1)).astype(np.float32),
+            np.full((2,), 4.0, np.float32),
+        )["volume"]),
+    )

@@ -49,3 +49,19 @@ def test_upsample_schedule_grows_grid(tmp_path):
     # may have trimmed it; it must exceed the initial resolution
     assert min(reso) > 12, reso
     assert np.all(np.isfinite(np.asarray(aabb)))
+
+
+def test_eval_boundary_never_fires_mid_stage1():
+    """Python's floored modulo made the stage-2 view-boundary term fire
+    mid-stage-1 ((10-50) % 20 == 0), handing train compaction a mask
+    built from the half-trained seed field (review r3)."""
+    from text2nerf_tpu.engine.trainer import eval_boundary
+
+    n1, n2, every = 50, 20, 10 ** 6
+    fired = [e for e in range(120) if eval_boundary(e, n1, n2, every)]
+    # stage-1 end (epoch 49) and the view boundaries past it — nothing else
+    assert fired == [49, 69, 89, 109]
+    # eval_every-triggered mid-stage-1 evals still fire
+    assert eval_boundary(9, n1, n2, 10)
+    # local fit (n_stage2=0): only eval_every and stage-1 end
+    assert [e for e in range(60) if eval_boundary(e, 50, 0, 25)] == [24, 49]

@@ -140,6 +140,26 @@ class TrainConfig:
     checkpoint_backend: str = "npz"
 
 
+def eval_boundary(
+    epoch: int, n_stage1: int, n_stage2: int, eval_every: int
+) -> bool:
+    """Is the epoch that just FINISHED (0-indexed) an eval boundary?
+
+    Boundaries (text2nerf_main.py:618-625): every ``eval_every`` epochs,
+    the end of stage 1, and each stage-2 view boundary.  The view-boundary
+    term must be guarded to epochs strictly past stage 1 — Python's
+    floored modulo is 0 for negative multiples too (epoch+1=10, stages
+    50/20: (10-50) % 20 == 0), which would fire mid-stage-1 and, worse,
+    hand the train-compaction path a mask built from the half-trained
+    seed field (regression-tested)."""
+    e1 = epoch + 1
+    return (
+        e1 % eval_every == 0
+        or (n_stage2 > 0 and e1 > n_stage1 and (e1 - n_stage1) % n_stage2 == 0)
+        or e1 == n_stage1
+    )
+
+
 def _epoch_iters(n_rays: int, batch: int) -> int:
     return n_rays // batch + int(n_rays % batch > 0)
 
@@ -385,10 +405,26 @@ def reconstruction(
         cannot grow in dead-masked voxels and per-view quality collapses
         (PERF.md round-3 A/B).  Keyed on (mask, pool) identity so every
         mask-rebuild site and every pool change re-stamps.  The guard
-        does host-side readbacks, hence the memoization."""
+        does host-side readbacks, hence the memoization.
+
+        Stage 1 ALWAYS trains dense (``epoch`` resolves to the loop
+        variable at call time): the seed content is still growing, a mask
+        from the half-trained field freezes its support, and there is no
+        pool_new stamp source — the same reason stage-1 resumes stay
+        dense.  An eval_every_epochs-triggered eval may legitimately
+        build eval_mask mid-stage-1; it must not leak into the train
+        step."""
         if cfg.train_compact_k <= 0 or eval_mask is None:
             return None
-        mkey = (id(eval_mask), id(pool_new))
+        if epoch < cfg.n_stage1:
+            return None
+        # key includes aabb identity + grid reso + group so upsample /
+        # shrink milestones (which change the stride-safety geometry but
+        # not the mask object) re-verify and re-stamp
+        mkey = (
+            id(eval_mask), id(pool_new), id(aabb),
+            tf.grid_resolution(mcfg, state.params), current_group(),
+        )
         if mkey not in _tm_cache:
             g, _ = current_group()
             ok = g == 1 or render_ops.occupancy_stride_safe(
@@ -425,7 +461,10 @@ def reconstruction(
     eval_mask = None  # alpha-grid mask for compacted eval renders
 
     def rebuild_eval_mask():
-        if cfg.eval_compact_k <= 0 or cfg.ndc_ray:
+        # train compaction shares this mask: train_compact_k alone must
+        # still build it (eval call sites pass compact_k=eval_compact_k,
+        # so eval stays dense-with-mask-culling when only train opts in)
+        if (cfg.eval_compact_k <= 0 and cfg.train_compact_k <= 0) or cfg.ndc_ray:
             return None
         reso_now = tf.grid_resolution(mcfg, state.params)
         mask_reso = tuple(min(r, 200) for r in reso_now)
@@ -753,13 +792,8 @@ def reconstruction(
                 )
 
         # --- periodic eval (text2nerf_main.py:618-625) -----------------------
-        boundary = (
-            (epoch + 1) % cfg.eval_every_epochs == 0
-            or (
-                cfg.n_stage2 > 0
-                and (epoch + 1 - cfg.n_stage1) % cfg.n_stage2 == 0
-            )
-            or epoch + 1 == cfg.n_stage1
+        boundary = eval_boundary(
+            epoch, cfg.n_stage1, cfg.n_stage2, cfg.eval_every_epochs
         )
         if boundary:
             eval_mask = rebuild_eval_mask()

@@ -725,15 +725,18 @@ def stamp_alpha_mask(
 
     ``rays``/``depth``: the view's training pool ((N, 6), (N,)); ray
     direction parameterization matches the depth values (ray_utils
-    convention).  Subsamples to ``max_rays`` fixed points so one compile
-    serves every view.
+    convention).  The selection size is rounded UP to a power of two
+    (capped at ``max_rays``) so a handful of jit specializations serve
+    every view — pool sizes vary per view, and an exact ``min(n,
+    max_rays)`` shape would recompile ``_stamp_volume`` each time
+    (repeated rays are harmless: stamping is a max-reduction).
     """
     rays = np.asarray(rays)
     depth = np.asarray(depth)
     n = rays.shape[0]
     if n == 0:
         return mask
-    k = min(n, max_rays)
+    k = min(1 << max(n - 1, 1).bit_length(), max_rays)
     sel = np.linspace(0, n - 1, k).astype(np.int64)
     vol = _stamp_volume(
         jnp.asarray(mask["volume"]), jnp.asarray(mask["aabb"]),

@@ -26,7 +26,11 @@ def atomic_savez(path: str, **arrays) -> None:
     if not path.endswith(".npz"):
         path = path + ".npz"
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    tmp = f"{path}.tmp.{os.getpid()}"
+    # FIXED temp name (writers to one path are serialized in this design):
+    # a SIGKILL mid-write skips the finally-cleanup, and a pid-suffixed
+    # name would leave one checkpoint-sized orphan per killed attempt —
+    # with a fixed name the next write replaces it, bounding waste to one
+    tmp = path + ".tmp"
     try:
         with open(tmp, "wb") as f:
             np.savez(f, **arrays)

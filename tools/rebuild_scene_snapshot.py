@@ -65,17 +65,33 @@ def _resume_next_view(logfolder: str):
     ``next_view`` pointing at the view about to be generated), so the DIBR
     tree may hold artifacts for one view NEWER than the checkpointed loop
     state — recovering that view into the snapshot would make the resumed
-    run append it twice."""
-    for name in os.listdir(logfolder):
-        if name.endswith("_resume.npz"):
-            try:
-                data = np.load(os.path.join(logfolder, name))
-                import json
+    run append it twice.
 
+    Handles both checkpoint backends (newest-mtime first when several
+    exist): npz archives (``*_resume.npz`` with an embedded
+    ``__loop_state__`` JSON blob) and orbax directories (``*_resume/``
+    with a side ``loop_state.json`` — engine/checkpoints.save_orbax)."""
+    import json
+
+    cands = sorted(
+        (n for n in os.listdir(logfolder) if n.endswith("_resume.npz")
+         or (n.endswith("_resume")
+             and os.path.isdir(os.path.join(logfolder, n)))),
+        key=lambda n: os.path.getmtime(os.path.join(logfolder, n)),
+        reverse=True,
+    )
+    for name in cands:
+        full = os.path.join(logfolder, name)
+        try:
+            if name.endswith(".npz"):
+                data = np.load(full)
                 ls = json.loads(bytes(data["__loop_state__"].tobytes()).decode())
-                return int(ls["next_view"])
-            except Exception as e:  # noqa: BLE001 — recovery tool, keep going
-                print(f"warning: could not read loop state from {name}: {e}")
+            else:
+                with open(os.path.join(full, "loop_state.json")) as f:
+                    ls = json.load(f)
+            return int(ls["next_view"])
+        except Exception as e:  # noqa: BLE001 — recovery tool, keep going
+            print(f"warning: could not read loop state from {name}: {e}")
     return None
 
 

@@ -57,6 +57,7 @@ def supervise(args, cmd) -> int:
         stalled = False
         last = _progress_stamp(args.progress)
         last_change = time.time()
+        seen_change = False  # has THIS attempt written progress yet?
         while True:
             rc = proc.poll()
             if rc is not None:
@@ -65,10 +66,18 @@ def supervise(args, cmd) -> int:
             now = _progress_stamp(args.progress)
             if now != last:
                 last, last_change = now, time.time()
-            elif time.time() - last_change > args.stale_sec:
+                seen_change = True
+                continue
+            # until THIS attempt's first progress write (file missing, or
+            # mtime left over from a previous attempt) a run legitimately
+            # spends a long time in bootstrap + cold jit compiles
+            # (15 s–8 min per program on the tunneled chip) — give it a
+            # cold_grace× window before declaring a stall
+            limit = args.stale_sec * (1.0 if seen_change else args.cold_grace)
+            if time.time() - last_change > limit:
                 print(
                     f"supervise: no progress on {args.progress} for "
-                    f"{args.stale_sec}s — killing attempt {attempt}",
+                    f"{limit:.0f}s — killing attempt {attempt}",
                     flush=True,
                 )
                 # the whole session group: the command and its children
@@ -97,6 +106,9 @@ def main(argv=None):
     p.add_argument("--progress", required=True,
                    help="file whose mtime advances while the run is healthy")
     p.add_argument("--stale-sec", type=float, default=900.0)
+    p.add_argument("--cold-grace", type=float, default=3.0,
+                   help="multiplier on --stale-sec before the progress "
+                        "file's first write (bootstrap + cold compiles)")
     p.add_argument("--poll-sec", type=float, default=10.0)
     p.add_argument("--retry-delay-sec", type=float, default=30.0)
     p.add_argument("--max-attempts", type=int, default=20)
