@@ -73,3 +73,39 @@ def test_scoped_flush_isolates_scenes(tmp_path):
         w.flush(str(scene_a))
     # and a global flush afterwards is clean (error already consumed)
     w.flush()
+
+
+def test_scoped_flush_is_separator_aware(tmp_path):
+    """'.../exp_0.3' must not claim '.../exp_0.35's writes (review r3:
+    bare prefix matching stole sibling scenes' pending writes + errors)."""
+    w = AsyncArtifactWriter()
+    img = np.zeros((4, 4, 3), np.float32)
+    a = tmp_path / "exp_0.3"
+    b = tmp_path / "exp_0.35"
+    blocker = b / "blocker"
+    os.makedirs(b, exist_ok=True)
+    blocker.write_text("x")
+    w.write(str(blocker / "sub" / "bad.png"), img)  # B's write fails
+    w.write(str(a / "good.png"), img)
+    # A's flush must NOT raise B's error (prefix 'exp_0.3' matches both)
+    w.flush(str(a))
+    assert os.path.isfile(a / "good.png")
+    with pytest.raises(Exception):
+        w.flush(str(b))
+
+
+def test_flush_drains_all_errors_under_root(tmp_path):
+    """A scene with several failed writes raises once and leaves NOTHING
+    queued for unrelated later flushes (review r3)."""
+    w = AsyncArtifactWriter()
+    img = np.zeros((4, 4, 3), np.float32)
+    scene = tmp_path / "scene"
+    os.makedirs(scene, exist_ok=True)
+    blocker = scene / "blocker"
+    blocker.write_text("x")
+    w.write(str(blocker / "s1" / "bad1.png"), img)
+    w.write(str(blocker / "s2" / "bad2.png"), img)
+    with pytest.raises(Exception):
+        w.flush(str(scene))
+    # all of the scene's errors were drained by its own flush
+    w.flush()

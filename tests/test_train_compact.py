@@ -9,6 +9,7 @@ sample positions, same losses with the full-S transmittance denominator).
 
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 
 from text2nerf_tpu.engine import train_step as ts
@@ -350,3 +351,25 @@ def test_stamp_selection_shapes_bucket_to_powers_of_two(monkeypatch):
             np.full((2,), 4.0, np.float32),
         )["volume"]),
     )
+
+
+def test_train_step_guard_matches_wrapper(monkeypatch):
+    """make_train_step must enforce the same stride license the public
+    render wrapper does (review r3: the compact branch called the private
+    renderer with occ_stride=group and no occupancy_stride_safe check)."""
+    from text2nerf_tpu.engine import train_step as ts
+
+    params, mask3 = _slab_field_and_mask(pool=3)
+    state, tx = ts.make_train_state(params)
+    step = ts.make_train_step(
+        CFG, tx, n_samples=S, app_k=8, density_group=2, density_block=3,
+        compact_k=16,
+    )
+    rays = _rays(8)
+    batch = {
+        "rays": rays,
+        "rgb": jnp.zeros((8, 3), jnp.float32),
+        "depth": jnp.full((8,), 4.0, jnp.float32),
+    }
+    with pytest.raises(ValueError, match="pool dilation"):
+        step(state, AABB, batch, jax.random.PRNGKey(0), alpha_mask=mask3)

@@ -75,20 +75,35 @@ class AsyncArtifactWriter:
 
     def flush(self, root: Optional[str] = None):
         """Block until every enqueued write under ``root`` (all writes when
-        None) hit disk; re-raise the first matching worker error."""
+        None) hit disk; drain ALL matching worker errors and re-raise the
+        first (siblings' errors must stay queued for THEIR flush — farm
+        scenes share this writer)."""
+        rootp = None if root is None else os.path.abspath(root)
 
         def under(p: str) -> bool:
-            return root is None or os.path.abspath(p).startswith(
-                os.path.abspath(root)
-            )
+            if rootp is None:
+                return True
+            ap = os.path.abspath(p)
+            # path-separator-aware: '.../exp_0.3' must not claim
+            # '.../exp_0.35's writes (bare prefix matching did)
+            return ap == rootp or ap.startswith(rootp + os.sep)
 
         with self._done:
             while any(under(p) for p in self._pending):
                 self._done.wait(timeout=60.0)
-            for i, (p, e) in enumerate(self._errors):
-                if under(p):
-                    del self._errors[i]
-                    raise e
+            mine = [(p, e) for (p, e) in self._errors if under(p)]
+            if mine:
+                self._errors[:] = [
+                    (p, e) for (p, e) in self._errors if not under(p)
+                ]
+                if len(mine) > 1:
+                    import logging
+
+                    for p, e in mine[1:]:
+                        logging.getLogger(__name__).error(
+                            "async write also failed: %s: %r", p, e
+                        )
+                raise mine[0][1]
 
 
 def _write_image_sync(path: str, a: np.ndarray):

@@ -309,6 +309,20 @@ def make_train_step(
     def train_step(state, aabb, batch, rng, tv_decay=None, alpha_mask=None,
                    lr_decay=1.0):
         if compact and alpha_mask is not None:
+            # same license render_rays_train_compact enforces: grouped
+            # compaction tests occupancy every density_group-th sample,
+            # which is only sound when the mask's pool dilation covers the
+            # skipped neighbors (memoized per reso/stride inside the mask,
+            # so this is cheap after the first call)
+            if density_group > 1 and not render_ops.occupancy_stride_safe(
+                cfg, state.params, aabb, alpha_mask, density_group
+            ):
+                raise ValueError(
+                    "density_group=%d needs a mask pool dilation licensing "
+                    "stride-%d occupancy tests (update_alpha_mask(pool>="
+                    "%d))" % (density_group, density_group,
+                              2 * density_group + 1)
+                )
             alpha_mask = render_ops._strip_pool(alpha_mask)
         else:
             alpha_mask = None

@@ -164,6 +164,50 @@ def _epoch_iters(n_rays: int, batch: int) -> int:
     return n_rays // batch + int(n_rays % batch > 0)
 
 
+def _resolve_group(cfg: "TrainConfig", aabb, reso, step_ratio):
+    """(density_group, density_block) under the grouping_block drift guard
+    — the ONE resolver shared by the real step builder and the bootstrap
+    warm-up so both compile the identical executable."""
+    group, block = 1, 4
+    if cfg.train_density_group > 1 and not cfg.ndc_ray:
+        b = tf.grouping_block(
+            aabb, reso, step_ratio, group=cfg.train_density_group
+        )
+        if b:
+            group, block = cfg.train_density_group, b
+    return group, block
+
+
+def _initial_loss_weights(cfg: "TrainConfig") -> "ts.LossWeights":
+    """Run-start loss weights (the trainer mutates its copy at the
+    L1_weight_rest milestone, so _step_kwargs takes the LIVE value)."""
+    return ts.LossWeights(
+        tv_density=cfg.tv_weight_density, tv_app=cfg.tv_weight_app,
+        l1=cfg.l1_weight, ortho=cfg.ortho_weight,
+    )
+
+
+def _step_kwargs(
+    cfg: "TrainConfig", *, n_samples, group, block, white_bg, weights=None
+):
+    """The single source of make_train_step kwargs.  The warm-up thread
+    and reconstruction's make_step MUST build byte-identical programs or
+    the persistent-cache overlap buys nothing — any new knob goes here."""
+    return dict(
+        n_samples=n_samples, app_k=cfg.app_k, white_bg=white_bg,
+        ndc=cfg.ndc_ray,
+        weights=_initial_loss_weights(cfg) if weights is None else weights,
+        depth_loss_type=cfg.depth_loss_type,
+        density_group=group, density_block=block,
+        compute_dtype=cfg.train_compute_dtype,
+        compact_k=cfg.train_compact_k,
+        runtime_decay=True, lr_init=cfg.lr_init, lr_basis=cfg.lr_basis,
+        microbatch=ts.effective_microbatch(
+            cfg.batch_size, cfg.train_microbatch
+        ),
+    )
+
+
 def _start_train_step_warmup(cfg: "TrainConfig", scene_cfg):
     """Overlap the stage-1 train-step jit compile with the host-side scene
     bootstrap (VERDICT r3 item 5).
@@ -197,30 +241,14 @@ def _start_train_step_warmup(cfg: "TrainConfig", scene_cfg):
             state_w, tx_w = ts.make_train_state(
                 params_w, cfg.lr_init, cfg.lr_basis, runtime_decay=True
             )
-            group, block = 1, 4
-            if cfg.train_density_group > 1 and not cfg.ndc_ray:
-                b = tf.grouping_block(
-                    aabb_w, reso, cfg.model.step_ratio,
-                    group=cfg.train_density_group,
-                )
-                if b:
-                    group, block = cfg.train_density_group, b
+            group, block = _resolve_group(
+                cfg, aabb_w, reso, cfg.model.step_ratio
+            )
             step_w = ts.make_train_step(
-                cfg.model, tx_w, n_samples=n_samples, app_k=cfg.app_k,
-                white_bg=scene_cfg.white_bg, ndc=cfg.ndc_ray,
-                weights=ts.LossWeights(
-                    tv_density=cfg.tv_weight_density,
-                    tv_app=cfg.tv_weight_app,
-                    l1=cfg.l1_weight, ortho=cfg.ortho_weight,
-                ),
-                depth_loss_type=cfg.depth_loss_type,
-                density_group=group, density_block=block,
-                compute_dtype=cfg.train_compute_dtype,
-                compact_k=cfg.train_compact_k,
-                runtime_decay=True, lr_init=cfg.lr_init,
-                lr_basis=cfg.lr_basis,
-                microbatch=ts.effective_microbatch(
-                    cfg.batch_size, cfg.train_microbatch
+                cfg.model, tx_w,
+                **_step_kwargs(
+                    cfg, n_samples=n_samples, group=group, block=block,
+                    white_bg=scene_cfg.white_bg,
                 ),
             )
             dirs = np.full((cfg.batch_size, 3), 0.577, np.float32)
@@ -329,7 +357,13 @@ def reconstruction(
                 log=log,
             )
         with phase_timer("warmup_join", log):
-            warmup.join()
+            # bounded: a hung tunnel compile in the throwaway warm-up must
+            # not deadlock reconstruction before any checkpointing exists —
+            # proceed and let the real compile (and the stall supervisor)
+            # own the failure
+            warmup.join(timeout=900.0)
+            if warmup.is_alive():
+                log.scalars(0, {"warmup_abandoned": 1.0})
         mcfg, params, aabb, _ = init_field(cfg, scene)
     white_bg = scene.white_bg
     reso = tf.grid_resolution(mcfg, params)
@@ -355,10 +389,8 @@ def reconstruction(
     )
     factor = ts.lr_factor(cfg.lr_decay_target_ratio, decay_iters)
 
-    weights = ts.LossWeights(
-        tv_density=cfg.tv_weight_density, tv_app=cfg.tv_weight_app,
-        l1=cfg.l1_weight, ortho=cfg.ortho_weight,
-    )
+    weights = _initial_loss_weights(cfg)
+
     def current_group():
         # grouped density gathers: the round-3 weighted-contraction
         # extraction made them the fastest train path (689 → 529 ms/step
@@ -367,28 +399,18 @@ def reconstruction(
         # by grouping_block on the CURRENT aabb/reso (re-evaluated at
         # upsample/shrink milestones because make_step is rebuilt there);
         # falls back to per-sample gathers when the drift bound fails.
-        group, block = 1, 4
-        if cfg.train_density_group > 1 and not cfg.ndc_ray:
-            b = tf.grouping_block(
-                aabb, tf.grid_resolution(mcfg, state.params),
-                mcfg.step_ratio, group=cfg.train_density_group,
-            )
-            if b:
-                group, block = cfg.train_density_group, b
-        return group, block
+        return _resolve_group(
+            cfg, aabb, tf.grid_resolution(mcfg, state.params),
+            mcfg.step_ratio,
+        )
 
     def make_step(tx):
         group, block = current_group()
         return ts.make_train_step(
-            mcfg, tx, n_samples=n_samples, app_k=cfg.app_k,
-            white_bg=white_bg, ndc=cfg.ndc_ray, weights=weights,
-            depth_loss_type=cfg.depth_loss_type,
-            density_group=group, density_block=block,
-            compute_dtype=cfg.train_compute_dtype,
-            compact_k=cfg.train_compact_k,
-            runtime_decay=True, lr_init=cfg.lr_init, lr_basis=cfg.lr_basis,
-            microbatch=ts.effective_microbatch(
-                cfg.batch_size, cfg.train_microbatch
+            mcfg, tx,
+            **_step_kwargs(
+                cfg, n_samples=n_samples, group=group, block=block,
+                white_bg=white_bg, weights=weights,
             ),
         )
 
