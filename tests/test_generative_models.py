@@ -230,3 +230,20 @@ def test_pndm_denoises_toward_x0():
     # multistep history mixes timesteps, so the instantaneous
     # oracle is only approximately consistent at 12 steps
     np.testing.assert_allclose(np.asarray(x), x0, atol=0.1)
+
+
+def test_ddim_final_step_uses_final_alpha_cumprod():
+    """set_alpha_to_one=False (the SD checkpoints' DDIM config): the last
+    step's a_prev is alphas_cumprod[0], not 1.0 (review r3) — literal-math
+    golden of the final update."""
+    sched = D.DDIMSchedule.create(10)
+    n = sched.timesteps.shape[0]
+    x = jnp.full((1, 2, 2, 1), 0.7, jnp.float32)
+    eps = jnp.full_like(x, 0.3)
+    got = np.asarray(sched.step(eps, n - 1, x))
+    t = int(sched.timesteps[n - 1])
+    a_t = float(sched.alphas_cum[t])
+    a_prev = float(sched.alphas_cum[0])  # final_alpha_cumprod
+    x0 = (0.7 - np.sqrt(1 - a_t) * 0.3) / np.sqrt(a_t)
+    want = np.sqrt(a_prev) * x0 + np.sqrt(1 - a_prev) * 0.3
+    np.testing.assert_allclose(got, np.full_like(got, want), rtol=1e-5)

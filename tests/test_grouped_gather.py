@@ -179,3 +179,21 @@ def test_line_hat_matmul_matches_lerp():
     np.testing.assert_allclose(
         np.asarray(g1), np.asarray(g2), atol=5e-5, rtol=1e-4
     )
+
+
+def test_sample_line_hat_bf16_keeps_index_math_fp32():
+    """dtype=bf16 must cast only the FINISHED weights, never the absolute
+    grid coordinate (review r3: bf16's 1-ulp spacing past row 128 wiped
+    the fractional part on production-size 300-row tables)."""
+    rng = np.random.default_rng(3)
+    l, c = 300, 8
+    line = jnp.asarray(rng.normal(size=(l, c)).astype(np.float32))
+    # coordinates landing in rows > 128 with non-trivial fractions
+    y = jnp.asarray(rng.uniform(0.7, 0.95, 64).astype(np.float32))
+    ref = np.asarray(fg.sample_line_hat(line, y))
+    got = np.asarray(fg.sample_line_hat(line, y, dtype=jnp.bfloat16))
+    # bf16 weight/table rounding only (~1e-2 relative), NOT whole-cell
+    # jumps from a destroyed fraction
+    np.testing.assert_allclose(got, ref, atol=0.05, rtol=0.05)
+    err = np.abs(got - ref).max()
+    assert err < 0.1, err

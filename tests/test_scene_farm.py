@@ -239,3 +239,35 @@ def test_run_farm_parallel_eight_scenes(tmp_path):
         devices=jax.devices(),
     )
     assert r2[0]["wall_s"] == results[0]["wall_s"]
+
+
+def test_run_farm_parallel_survives_one_failed_scene(tmp_path):
+    """One scene's failure must not abandon the device's remaining queue
+    (review r3): the others complete (markers + results preserved) and
+    the raised error carries the failure roster + partial results."""
+    import jax
+    import pytest
+
+    from text2nerf_tpu.parallel import scene_farm as sf
+
+    def run(job):
+        if "bad" in job.prompt:
+            raise RuntimeError("boom")
+        return {"ok": True, "prompt": job.prompt}
+
+    with pytest.raises(RuntimeError, match="boom") as ei:
+        sf.run_farm_parallel(
+            ["a good scene", "a bad scene", "another good scene"],
+            str(tmp_path / "d"), str(tmp_path / "l"), run,
+            devices=[jax.devices()[0]],  # ONE worker drains all three
+        )
+    assert ei.value.farm_failed == [(1, "a bad scene")]
+    done = [r for r in ei.value.farm_results if r]
+    assert len(done) == 2 and all(r["ok"] for r in done)
+    # completed scenes keep their markers → a re-run skips them
+    import os
+
+    markers = []
+    for root, _, files in os.walk(tmp_path / "l"):
+        markers += [f for f in files if "FARM_DONE" in f or "done" in f.lower()]
+    assert len(markers) == 2

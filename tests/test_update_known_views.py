@@ -51,7 +51,7 @@ def test_update_known_views_branch(tmp_path):
     assert np.isfinite(scene.depth_gen_split).all()
     for k, (rays, rgbs, depths) in scene.updates.items():
         assert len(rays) == len(rgbs) == len(depths)
-    del logfolder  # artifacts are exercised directly below
+    del logfolder  # artifacts are exercised by the dedicated test below
 
 
 def test_update_known_views_writes_support_artifacts(tmp_path):

@@ -491,7 +491,14 @@ class DDIMSchedule:
             i + 1 < n, self.timesteps[jnp.minimum(i + 1, n - 1)], -1
         )
         a_t = self.alphas_cum[t]
-        a_prev = jnp.where(t_prev >= 0, self.alphas_cum[jnp.maximum(t_prev, 0)], 1.0)
+        # final step: set_alpha_to_one=False (the SD checkpoints' DDIM
+        # config) → final_alpha_cumprod = alphas_cumprod[0], NOT 1.0 —
+        # matches diffusers and the PNDM implementation below
+        a_prev = jnp.where(
+            t_prev >= 0,
+            self.alphas_cum[jnp.maximum(t_prev, 0)],
+            self.alphas_cum[0],
+        )
         x0 = (x - jnp.sqrt(1 - a_t) * eps) / jnp.sqrt(a_t)
         return jnp.sqrt(a_prev) * x0 + jnp.sqrt(1 - a_prev) * eps
 

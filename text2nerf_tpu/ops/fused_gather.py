@@ -87,12 +87,16 @@ def _hat_weights(y, size: int, dtype=None):
     """(N, size) linear-interpolation weights as hat functions at the grid
     nodes: w[n, i] = max(0, 1 - |f_n - i|) with f clamped to [0, size-1].
     Nonzero only at the two bracketing nodes, where it equals the lerp
-    weights up to ~1 ulp (1-(1-t) rounding)."""
+    weights up to ~1 ulp (1-(1-t) rounding).
+
+    Index math stays fp32 (codebase convention, cf. sample_packed_plane):
+    the absolute coordinate f spans [0, size-1], where bf16's ≥1.0 ulp
+    past row 128 would destroy the fractional part — only the FINISHED
+    weights (each in [0, 1]) are cast to ``dtype``."""
     f = jnp.clip((y + 1.0) * 0.5 * (size - 1), 0.0, size - 1)
-    if dtype is not None:
-        f = f.astype(dtype)
     iota = jnp.arange(size, dtype=f.dtype)
-    return jnp.maximum(0.0, 1.0 - jnp.abs(f[:, None] - iota[None, :]))
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(f[:, None] - iota[None, :]))
+    return w.astype(dtype) if dtype is not None else w
 
 
 def sample_line_hat(line, y, dtype=None):

@@ -145,8 +145,10 @@ def run_farm_parallel(
                 out["device"] = str(dev)
                 results[i] = out
             except BaseException as e:  # noqa: BLE001 — surfaced below
-                errors.append(e)
-                return
+                # keep draining: one scene's failure (a transient tunnel
+                # flap, a bad prompt) must not abandon the queue's
+                # remaining scenes on this device
+                errors.append((i, prompt, e))
 
     threads = [
         threading.Thread(target=worker, args=(d,), daemon=True)
@@ -157,7 +159,20 @@ def run_farm_parallel(
     for t in threads:
         t.join()
     if errors:
-        raise errors[0]
+        # completed scenes keep their FARM_DONE markers + results; raise
+        # the first failure with the full roster attached so callers can
+        # re-run just the failures (claim_and_run skips completed ones)
+        i0, p0, e0 = errors[0]
+        if len(errors) > 1:
+            import logging
+
+            for i_, p_, e_ in errors[1:]:
+                logging.getLogger(__name__).error(
+                    "farm scene %d (%r) also failed: %r", i_, p_, e_
+                )
+        e0.farm_failed = [(i_, p_) for i_, p_, _ in errors]
+        e0.farm_results = results
+        raise e0
     return [r for r in results if r is not None]
 
 

@@ -103,22 +103,20 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
 
-    from text2nerf_tpu.engine import metrics as M
     from text2nerf_tpu.engine import renderer as R
     from text2nerf_tpu.models import tensorf as tf
 
+    # compute_extra_metrics: SSIM on the float renders inside evaluation
+    # (one metric implementation, not a hand-rolled uint8 copy here)
     res = R.evaluation(
         mcfg, params, jnp.asarray(aabb), scene.rays_gen_split, scene.hw,
         n_samples=tf.default_n_samples(
             tf.grid_resolution(mcfg, params), mcfg.step_ratio
         ),
         gt_rgbs=scene.rgbs_gen_split, chunk=16384, app_k=48,
+        compute_extra_metrics=True,
     )
-    ssims = [
-        float(M.ssim(r.astype(np.float32) / 255.0,
-                     np.asarray(scene.rgbs_gen_split[i]), 1.0))
-        for i, r in enumerate(res["rgb"])
-    ]
+    ssims = [float(s) for s in res["ssim"]]
     summary = {
         "status": "ok",
         "schedule": list(args.stages),
