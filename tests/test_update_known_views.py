@@ -51,7 +51,17 @@ def test_update_known_views_branch(tmp_path):
     assert np.isfinite(scene.depth_gen_split).all()
     for k, (rays, rgbs, depths) in scene.updates.items():
         assert len(rays) == len(rgbs) == len(depths)
-    del logfolder  # artifacts are exercised by the dedicated test below
+    # mask expansion (text2nerf_main.py:146-163): update_known_views mode
+    # erodes the known mask and writes the *_expand artifact set
+    import os
+
+    from text2nerf_tpu.engine import io_async
+
+    io_async.flush()
+    for v in (1, 2):
+        for sub in ("mask", "mask_inv", "warped"):
+            p = os.path.join(logfolder, "DIBR", sub, "%05d_expand.png" % v)
+            assert os.path.isfile(p), p
 
 
 def test_update_known_views_writes_support_artifacts(tmp_path):

@@ -331,6 +331,25 @@ def expand_scene(
     _write(os.path.join(dibr, "mask", "%05d.png" % view_idx), my_map_f)
     _write(os.path.join(dibr, "mask_inv", "%05d.png" % view_idx), 1 - my_map_f)
 
+    # --- mask expansion (text2nerf_main.py:146-163): with
+    # update_known_views the known-content mask is ERODED (blur > 0.99)
+    # before everything downstream — the inpaint hole grows to cover the
+    # blurry warp boundary whose pixels the back-warp would propagate
+    # into known views.  (The reference's mask_ex difference image is
+    # computed and never used — dead code, not reproduced.)
+    if ex.update_known_views:
+        my_map_f = np.asarray(
+            filter_ops.expand_mask_blur(my_map_f, ksize=5, thresh=0.99)
+        )
+        _write(
+            os.path.join(dibr, "warped", "%05d_expand.png" % view_idx),
+            warped_img * my_map_f[..., None],
+        )
+        _write(os.path.join(dibr, "mask", "%05d_expand.png" % view_idx),
+               my_map_f)
+        _write(os.path.join(dibr, "mask_inv", "%05d_expand.png" % view_idx),
+               1 - my_map_f)
+
     # --- 3. render the target view (text2nerf_main.py:164-178)
     with phase_timer(f"{tag}_render_target", log):
         out = render_ops.render_chunked(
