@@ -155,3 +155,82 @@ def test_periodic_resume_into_stage3(tmp_path):
     ]
     assert lines and lines[-1]["resume_epoch"] == 3
     assert scene2.rgbs_gen_split.shape[0] == 2
+
+
+def test_crash_resume_matches_uninterrupted_quality(tmp_path):
+    """A run killed mid-expansion and resumed must reach the same final
+    per-view quality as an uninterrupted control run (same seeds): the
+    stage-boundary snapshot + checkpoint carry ALL the state the resumed
+    path needs, and the expansion RNG is keyed on seed+view.  (Adam
+    moments restart on mid-STAGE resumes; boundary resumes are exact.)"""
+    import dataclasses as dc
+
+    from text2nerf_tpu.engine import renderer as R
+
+    def make(root, inpaint):
+        hw = (32, 32)
+        scene_cfg = ss.SceneConfig(
+            datadir=str(root / "d"), prompt="crash eq",
+            pose_traj="circle0_20", num_training=3, hw=hw,
+            num_filter_iter=2, filter_size=(3, 3),
+        )
+        train_cfg = trainer.TrainConfig(
+            expname="c", basedir=str(root / "log"),
+            n_stage1=1, n_stage2=1, n_stage3=1, batch_size=256,
+            n_voxel_init=16 ** 3, app_k=8, eval_every_epochs=1000, seed=5,
+            resume=True,
+            model=tf.TensoRFConfig(
+                density_n_comp=(2, 2, 2), app_n_comp=(4, 4, 4), app_dim=6,
+                fea_pe=2, feature_c=16,
+            ),
+        )
+        services = Services(
+            text2img=lambda p, n="": fallbacks.procedural_text2img(
+                p, n, hw=hw),
+            inpaint=inpaint,
+            estimate_depth=fallbacks.procedural_depth,
+            rank=fallbacks.histogram_rank,
+            merge=DepthMergeService(net_size=64, num_downs=6),
+        )
+        exp_cfg = expansion.ExpansionConfig(
+            prompt=scene_cfg.prompt, n_candidates=1, candidates_per_round=1,
+            merge_iters=2, chunk=256, app_k=8, trans_range=0.2,
+        )
+        return train_cfg, scene_cfg, services, exp_cfg
+
+    def final_psnrs(cfgs):
+        train_cfg, scene_cfg, services, exp_cfg = cfgs
+        mcfg, params, aabb, scene, _ = trainer.reconstruction(
+            train_cfg, scene_cfg, services, exp_cfg
+        )
+        import jax.numpy as jnp
+
+        res = R.evaluation(
+            mcfg, params, jnp.asarray(aabb), scene.rays_gen_split, scene.hw,
+            n_samples=24, gt_rgbs=scene.rgbs_gen_split, chunk=256, app_k=8,
+        )
+        return np.asarray(res["psnr"])
+
+    # control: uninterrupted
+    p_control = final_psnrs(make(tmp_path / "a", fallbacks.diffusion_fill_inpaint))
+
+    # crashed: the SECOND view's inpaint dies once (after the stage
+    # boundary wrote the snapshot + checkpoint), then the rerun resumes
+    calls = {"n": 0}
+
+    def flaky_inpaint(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated crash mid-expansion")
+        return fallbacks.diffusion_fill_inpaint(*a, **kw)
+
+    cfgs_b = make(tmp_path / "b", flaky_inpaint)
+    try:
+        final_psnrs(cfgs_b)
+        raise AssertionError("expected the simulated crash")
+    except RuntimeError as e:
+        assert "simulated crash" in str(e)
+    p_resumed = final_psnrs(cfgs_b)
+
+    assert p_resumed.shape == p_control.shape
+    np.testing.assert_allclose(p_resumed, p_control, atol=0.5)
