@@ -42,14 +42,23 @@ def _lpips_or_warn(gt, rgb, net, weights_dir):
 
 
 def write_video(path: str, frames, fps: int = 30, quality: int = 9):
-    """mp4 via imageio-ffmpeg when available, else animated GIF
-    (air-gapped pods ship no ffmpeg)."""
+    """mp4 via imageio-ffmpeg when available, else MJPEG AVI (pure
+    Python — air-gapped pods ship no ffmpeg), else animated GIF."""
     import imageio.v2 as imageio
     import numpy as np
 
     try:
         imageio.mimwrite(path, np.stack(frames), fps=fps, quality=quality)
         return path
+    except Exception:
+        pass
+    try:
+        from ..utils.mjpeg_avi import write_mjpeg_avi
+
+        return write_mjpeg_avi(
+            os.path.splitext(path)[0] + ".avi", frames, fps=fps,
+            quality=quality,
+        )
     except Exception:
         gif = os.path.splitext(path)[0] + ".gif"
         imageio.mimwrite(gif, np.stack(frames), duration=1000.0 / fps)
