@@ -81,7 +81,14 @@ class LPIPSModel:
                 f"LPIPS-{net} requires converted pretrained weights "
                 f"(weights_dir/lpips_{net}.npz); none found."
             )
-        return LPIPSModel(net, tree["features"], tree["lins"])
+        # converted lins arrive as a {"0".."4"} dict of torch-shaped
+        # (1, C, 1, 1) tensors; _distance broadcasts them over NHWC
+        # channels, so flatten to (C,)
+        lins = tree["lins"]
+        if isinstance(lins, dict):
+            lins = [lins[str(i)] for i in range(len(lins))]
+        lins = [np.asarray(w).reshape(-1) for w in lins]
+        return LPIPSModel(net, tree["features"], lins)
 
     def _distance(self, img0, img1):
         def norm_input(x):

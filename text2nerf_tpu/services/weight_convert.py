@@ -185,6 +185,22 @@ def lpips_alex_name_map() -> Dict[str, str]:
     return name_map
 
 
+def lpips_vgg_name_map() -> Dict[str, str]:
+    """torch→Flax map for LPIPS-vgg: the torchvision VGG16 conv stack
+    (features.{0,2,5,7,10,12,14,17,19,21,24,26,28} — 2+2+3+3+3 convs,
+    pools between stages carry no weights) + the 5 lpips linear heads.
+    The reference's rgb_lpips(net_name='vgg') path (utils.py:413-425,
+    extra/compute_metrics.py)."""
+    conv_idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+    name_map = {}
+    for i, t in enumerate(conv_idx):
+        name_map[f"features.{t}.weight"] = f"features/Conv_{i}/kernel"
+        name_map[f"features.{t}.bias"] = f"features/Conv_{i}/bias"
+    for i in range(5):
+        name_map[f"lin{i}.model.1.weight"] = f"lins/{i}"
+    return name_map
+
+
 def clip_vision_name_map(layers: int = 12) -> Dict[str, str]:
     """torch→Flax map for the HF CLIP vision tower + visual projection
     (clip-vit-base-patch32, used for candidate ranking,

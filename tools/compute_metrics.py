@@ -40,7 +40,8 @@ def main(argv=None):
         print(json.dumps({"error": "no image pairs found"}))
         return 1
 
-    psnrs, ssims, lpips_vals = [], [], []
+    psnrs, ssims = [], []
+    lpips_vals = {"alex": [], "vgg": []}  # both nets, like the reference
     for pred_path, gt_path in zip(preds[:n], gts[:n]):
         pred = read_rgb(pred_path)
         gt = read_rgb(gt_path)
@@ -51,10 +52,14 @@ def main(argv=None):
         psnrs.append(M.psnr(pred, gt))
         ssims.append(M.ssim(pred, gt, 1.0))
         if args.lpips_weights:
-            try:
-                lpips_vals.append(M.lpips(gt, pred, "alex", args.lpips_weights))
-            except Exception:
-                pass
+            # extra/compute_metrics.py:34-80 reports alex AND vgg
+            for net in ("alex", "vgg"):
+                try:
+                    lpips_vals[net].append(
+                        M.lpips(gt, pred, net, args.lpips_weights)
+                    )
+                except Exception:
+                    pass
 
     result = {
         "n_images": n,
@@ -63,8 +68,9 @@ def main(argv=None):
         "psnr_per_image": [float(x) for x in psnrs],
         "ssim_per_image": [float(x) for x in ssims],
     }
-    if lpips_vals:
-        result["lpips_alex_mean"] = float(np.mean(lpips_vals))
+    for net, vals in lpips_vals.items():
+        if vals:
+            result[f"lpips_{net}_mean"] = float(np.mean(vals))
     print(json.dumps(result, indent=2))
     if args.out:
         with open(args.out, "w") as f:

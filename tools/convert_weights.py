@@ -128,6 +128,36 @@ def convert_merge(weights_dir, out_dir):
         return _status("merge_model_sc", "error", str(e)[:200])
 
 
+def convert_lpips(weights_dir, out_dir):
+    """LPIPS alex AND vgg (utils.py:413-425 supports both; the metrics
+    tool reports both).  Needs the torchvision backbone state dict
+    (alexnet*.pth / vgg16*.pth) plus the lpips v0.1 linear heads
+    ({alex,vgg}.pth, keys lin{i}.model.1.weight) anywhere under
+    weights/."""
+    from text2nerf_tpu.services import weight_convert as WC
+
+    ok = True
+    for net, bb_glob in (("alex", "alexnet*.pth"), ("vgg", "vgg16*.pth")):
+        lin = sorted(glob.glob(
+            os.path.join(weights_dir, "**", f"{net}.pth"), recursive=True))
+        bb = sorted(glob.glob(
+            os.path.join(weights_dir, "**", bb_glob), recursive=True))
+        if not lin or not bb:
+            ok &= _status(f"lpips_{net}", "absent")
+            continue
+        try:
+            state = WC.load_torch_checkpoint(bb[0])
+            state.update(WC.load_torch_checkpoint(lin[0]))
+            name_map = (WC.lpips_alex_name_map() if net == "alex"
+                        else WC.lpips_vgg_name_map())
+            tree = WC.convert_torch_state_dict(state, name_map)
+            WC.save_converted(os.path.join(out_dir, f"lpips_{net}.npz"), tree)
+            ok &= _status(f"lpips_{net}", "converted", bb[0])
+        except Exception as e:
+            ok &= _status(f"lpips_{net}", "error", str(e)[:200])
+    return ok
+
+
 def convert_clip(weights_dir, out_dir):
     d = os.path.join(weights_dir, "clip-vit-base-patch32")
     if not os.path.isdir(d):
@@ -160,6 +190,7 @@ def main(argv=None):
     ok &= convert_depth(args.weights)
     ok &= convert_merge(args.weights, out_dir)
     ok &= convert_clip(args.weights, out_dir)
+    ok &= convert_lpips(args.weights, out_dir)
     return 0 if ok else 1
 
 
