@@ -61,17 +61,21 @@ def test_checkpoint_and_snapshot_writes_are_atomic(tmp_path):
     assert "atomic_savez" in inspect.getsource(ss.save_scene_snapshot)
 
 
-def test_atomic_savez_tmp_name_is_fixed_and_orphan_is_replaced(tmp_path):
-    """SIGKILL mid-write skips the finally-cleanup; a FIXED temp name
-    bounds orphans to one per path (review r3: pid-suffixed names piled
-    up one checkpoint-sized orphan per killed attempt)."""
+def test_atomic_savez_sweeps_dead_writer_orphans(tmp_path):
+    """SIGKILL mid-write skips the finally-cleanup and strands
+    path.tmp.<pid>; the next write sweeps orphans whose writer pid is
+    dead (review r3) while temps of LIVE writers are left alone (two
+    concurrent processes must never interleave into one temp file)."""
     path = str(tmp_path / "state.npz")
-    # simulate a kill-orphaned temp from a previous attempt
-    orphan = path + ".tmp"
-    with open(orphan, "wb") as f:
+    dead = path + ".tmp.999999999"  # pid far above pid_max: never alive
+    with open(dead, "wb") as f:
         f.write(b"truncated garbage")
+    live = path + f".tmp.{os.getpid()}x"  # non-int suffix: ignored
+    with open(live, "wb") as f:
+        f.write(b"not ours to judge")
     atomic_savez(path, a=np.arange(3))
-    assert not os.path.exists(orphan)          # replaced, not accumulated
+    assert not os.path.exists(dead)            # dead-writer orphan swept
+    assert os.path.exists(live)                # unparseable name untouched
     assert list(np.load(path)["a"]) == [0, 1, 2]
-    leftovers = [n for n in os.listdir(tmp_path) if ".tmp" in n]
-    assert leftovers == []
+    # our own temp was cleaned by the finally
+    assert not os.path.exists(path + f".tmp.{os.getpid()}")

@@ -440,13 +440,14 @@ def reconstruction(
             return None
         if epoch < cfg.n_stage1:
             return None
-        # key includes aabb identity + grid reso + group so upsample /
-        # shrink milestones (which change the stride-safety geometry but
-        # not the mask object) re-verify and re-stamp
-        mkey = (
-            id(eval_mask), id(pool_new), id(aabb),
-            tf.grid_resolution(mcfg, state.params), current_group(),
-        )
+        # the key must stay pure-id cheap: this runs EVERY train step and
+        # anything touching jnp here (grid_resolution readbacks,
+        # grouping_block's float() syncs) would serialize the hot loop
+        # over the tunnel.  id(aabb) covers shrink; upsample (same ids)
+        # keeps the cached verdict, which stays conservative — the march
+        # step only shrinks under upsample, and the per-step wrapper
+        # guard in make_train_step re-verifies per (reso, stride) anyway.
+        mkey = (id(eval_mask), id(pool_new), id(aabb))
         if mkey not in _tm_cache:
             g, _ = current_group()
             ok = g == 1 or render_ops.occupancy_stride_safe(
@@ -460,6 +461,14 @@ def reconstruction(
             _tm_cache.clear()
             _tm_cache[mkey] = m
         return _tm_cache[mkey]
+
+    def render_mask():
+        """Mask for eval/expansion RENDERS: only when eval compaction is
+        opted in.  With eval_compact_k<=0 the mask may still exist (train
+        compaction builds it) but must not alter metric renders — dense
+        eval is the reference's shipped-config behavior
+        (update_AlphaMask_list=[], so its tensorf.alphaMask stays None)."""
+        return eval_mask if cfg.eval_compact_k > 0 else None
 
     # runtime_decay: the LR schedule lives in a per-step scalar (lr_decay,
     # tracked like tv_decay) instead of a compiled constant — ONE train-step
@@ -655,7 +664,7 @@ def reconstruction(
                     view_idx, mcfg, state.params, scene, services,
                     expansion_cfg, logfolder,
                     n_samples=n_samples, white_bg=white_bg, seed=cfg.seed + view_idx,
-                    alpha_mask=eval_mask,
+                    alpha_mask=render_mask(),
                     compact_k=cfg.eval_compact_k,
                     log=log,
                 )
@@ -835,7 +844,7 @@ def reconstruction(
                 prefix=f"epoch{epoch + 1:04d}_", chunk=cfg.batch_size,
                 app_k=cfg.app_k, white_bg=white_bg, ndc=cfg.ndc_ray,
                 push_depth=scene_cfg.push_depth, near_far=scene.near_far,
-                alpha_mask=eval_mask,
+                alpha_mask=render_mask(),
                 compact_k=cfg.eval_compact_k if eval_mask is not None else 0,
                 n_vis=cfg.n_vis,
             )
@@ -849,7 +858,7 @@ def reconstruction(
                 prefix=f"epoch{epoch + 1:04d}_", chunk=cfg.batch_size,
                 app_k=cfg.app_k, white_bg=white_bg, ndc=cfg.ndc_ray,
                 push_depth=scene_cfg.push_depth, near_far=scene.near_far,
-                alpha_mask=eval_mask,
+                alpha_mask=render_mask(),
                 compact_k=cfg.eval_compact_k if eval_mask is not None else 0,
                 n_vis=cfg.n_vis,
             )
@@ -885,7 +894,7 @@ def reconstruction(
     final_compact_k = cfg.eval_compact_k if eval_mask is not None else 0
     ckpt.save_checkpoint(
         os.path.join(logfolder, f"{cfg.expname}_final.npz"),
-        mcfg, state.params, aabb, alpha_mask=eval_mask,
+        mcfg, state.params, aabb, alpha_mask=render_mask(),
         loop_state={"view_idx": view_idx, "global_step": global_step},
     )
     if orbax:
@@ -907,7 +916,7 @@ def reconstruction(
             chunk=cfg.batch_size, app_k=cfg.app_k, white_bg=white_bg,
             ndc=cfg.ndc_ray, video=True,
             push_depth=scene_cfg.push_depth, near_far=scene.near_far,
-            alpha_mask=eval_mask, compact_k=final_compact_k,
+            alpha_mask=render_mask(), compact_k=final_compact_k,
             n_vis=cfg.n_vis,
         )
 
@@ -924,7 +933,7 @@ def reconstruction(
                 chunk=cfg.batch_size, app_k=cfg.app_k, white_bg=white_bg,
                 ndc=cfg.ndc_ray, video=True,
                 push_depth=scene_cfg.push_depth, near_far=scene.near_far,
-                alpha_mask=eval_mask, compact_k=final_compact_k,
+                alpha_mask=render_mask(), compact_k=final_compact_k,
                 n_vis=cfg.n_vis,
             )
         if cfg.render_path:
@@ -933,7 +942,7 @@ def reconstruction(
                 scene.intrinsic, n_samples=n_samples,
                 save_path=os.path.join(logfolder, "imgs_path_all"),
                 white_bg=white_bg, ndc=cfg.ndc_ray, near_far=scene.near_far,
-                alpha_mask=eval_mask, compact_k=final_compact_k,
+                alpha_mask=render_mask(), compact_k=final_compact_k,
             )
 
     # drain THIS scene's asynchronous DIBR artifact writes before handing

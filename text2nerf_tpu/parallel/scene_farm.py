@@ -124,7 +124,7 @@ def run_farm_parallel(
     for i, prompt in enumerate(prompts):
         jobq.put((i, prompt))
     results: List[Optional[dict]] = [None] * len(prompts)
-    errors: List[BaseException] = []
+    errors: List[tuple] = []  # (index, prompt, exception)
 
     def worker(dev):
         while True:

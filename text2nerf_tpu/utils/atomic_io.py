@@ -26,11 +26,13 @@ def atomic_savez(path: str, **arrays) -> None:
     if not path.endswith(".npz"):
         path = path + ".npz"
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    # FIXED temp name (writers to one path are serialized in this design):
-    # a SIGKILL mid-write skips the finally-cleanup, and a pid-suffixed
-    # name would leave one checkpoint-sized orphan per killed attempt —
-    # with a fixed name the next write replaces it, bounding waste to one
-    tmp = path + ".tmp"
+    # pid-suffixed temp: concurrent writers (a killed attempt overlapping
+    # a restarted one) never interleave into one file, so the final
+    # os.replace always installs an internally-consistent archive.
+    # SIGKILL mid-write skips the finally-cleanup and strands the temp —
+    # sweep siblings whose writer pid is gone so orphans never accumulate
+    tmp = f"{path}.tmp.{os.getpid()}"
+    _sweep_dead_tmp(path)
     try:
         with open(tmp, "wb") as f:
             np.savez(f, **arrays)
@@ -40,3 +42,25 @@ def atomic_savez(path: str, **arrays) -> None:
     finally:
         if os.path.exists(tmp):
             os.remove(tmp)
+
+
+def _sweep_dead_tmp(path: str) -> None:
+    """Remove ``path.tmp.<pid>`` leftovers whose writer process is dead."""
+    import glob
+
+    for stale in glob.glob(path + ".tmp.*"):
+        try:
+            pid = int(stale.rsplit(".", 1)[-1])
+        except ValueError:
+            continue
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)  # raises if no such process
+        except ProcessLookupError:
+            try:
+                os.remove(stale)
+            except OSError:
+                pass
+        except PermissionError:
+            pass  # alive under another uid — leave it

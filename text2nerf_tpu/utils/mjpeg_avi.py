@@ -90,16 +90,19 @@ def write_mjpeg_avi(path: str, frames, fps: int = 30, quality: int = 9):
         + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
     )
 
-    movi_payload = b""
-    index = b""
+    # list + join (not bytes +=): quadratic concatenation costs GBs of
+    # memcpy on a 600-frame render video
+    movi_parts, index_parts = [], []
+    offset = 4  # idx1 offsets count from the 'movi' fourcc
     for j in jpegs:
-        # idx1 offsets count from the 'movi' fourcc; first chunk is at 4
-        index += b"00dc" + struct.pack(
-            "<III", _AVIIF_KEYFRAME, 4 + len(movi_payload), len(j)
+        index_parts.append(
+            b"00dc" + struct.pack("<III", _AVIIF_KEYFRAME, offset, len(j))
         )
-        movi_payload += _chunk(b"00dc", j)
-    movi = _list(b"movi", movi_payload)
-    idx1 = _chunk(b"idx1", index)
+        chunk = _chunk(b"00dc", j)
+        movi_parts.append(chunk)
+        offset += len(chunk)
+    movi = _list(b"movi", b"".join(movi_parts))
+    idx1 = _chunk(b"idx1", b"".join(index_parts))
 
     riff_payload = b"AVI " + hdrl + movi + idx1
     with open(path, "wb") as f:

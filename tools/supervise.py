@@ -81,7 +81,11 @@ def supervise(args, cmd) -> int:
                     flush=True,
                 )
                 # the whole session group: the command and its children
-                os.killpg(proc.pid, signal.SIGKILL)
+                # (it may have died on its own during the poll sleep)
+                try:
+                    os.killpg(proc.pid, signal.SIGKILL)
+                except ProcessLookupError:
+                    pass
                 proc.wait()
                 stalled = True
                 rc = -9
