@@ -30,6 +30,11 @@ def main():
     ap.add_argument("--batch", type=int, default=16384)
     ap.add_argument("--compute-dtype", default="fp32")
     ap.add_argument("--app-k", type=int, default=64)
+    ap.add_argument("--compact-k", type=int, default=0,
+                    help="alpha-mask train compaction width (the trainer "
+                         "default is 64 once a mask exists; 0 = dense). "
+                         "Builds a slab field + pool-5 mask to compact "
+                         "against.")
     args = ap.parse_args()
 
     import jax
@@ -46,6 +51,26 @@ def main():
           f"block={args.block} mb={args.mb} dtype={args.compute_dtype}")
 
     params = tf.init_params(jax.random.PRNGKey(0), cfg, reso)
+    alpha_mask = None
+    if args.compact_k > 0:
+        # room-shell density (bench.py's slab) → a real pooled mask to
+        # compact against; pool=5 licenses the group-2 occupancy stride
+        params = dict(params)
+        zs = np.linspace(-8, 8, reso[2])
+        import jax.numpy as _jnp
+
+        line_z = np.full((reso[2], cfg.density_n_comp[0]), -3.0, np.float32)
+        line_z[(zs > 2.0) & (zs < 3.0)] = 2.0
+        params["density_lines"] = (
+            _jnp.asarray(line_z),
+            abs(params["density_lines"][1]) * 0.3 + 0.2,
+            abs(params["density_lines"][2]) * 0.3 + 0.2,
+        )
+        alpha_mask, _ = tf.update_alpha_mask(
+            cfg, params, aabb, tuple(min(r, 200) for r in reso), pool=5
+        )
+        occ = float(np.asarray(alpha_mask["volume"]).mean())
+        print(f"compact_k={args.compact_k} mask_occupancy={occ:.3f}")
     state, tx = ts.make_train_state(params, factor=0.999)
     kwargs = {}
     if args.compute_dtype != "fp32":
@@ -53,7 +78,7 @@ def main():
     step_fn = ts.make_train_step(
         cfg, tx, n_samples=n_samples, app_k=args.app_k,
         density_group=args.group, density_block=args.block,
-        microbatch=args.mb, **kwargs,
+        microbatch=args.mb, compact_k=args.compact_k, **kwargs,
     )
 
     b = args.batch
@@ -76,14 +101,14 @@ def main():
 
     # warm-up / compile on batch outside the timed set
     t0 = time.time()
-    state, m = step_fn(state, aabb, batches[-1], key)
+    state, m = step_fn(state, aabb, batches[-1], key, alpha_mask=alpha_mask)
     print(f"compile+first step: {time.time() - t0:.1f}s  "
           f"psnr={float(m['psnr']):.2f}")
 
     t0 = time.time()
     for i in range(args.steps):
         key, k = jax.random.split(key)
-        state, m = step_fn(state, aabb, batches[i], k)
+        state, m = step_fn(state, aabb, batches[i], k, alpha_mask=alpha_mask)
     _ = float(m["mse"])  # host readback forces execution
     dt = (time.time() - t0) / args.steps
     print(f"ms/step: {dt * 1e3:.1f}")
