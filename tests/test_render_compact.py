@@ -174,3 +174,105 @@ def test_compact_unsafe_stride_renders_stride1():
         n_samples=32, compact_k=16, app_k=16, feature_dtype="fp32",
     )
     np.testing.assert_array_equal(np.asarray(out.rgb), np.asarray(ref.rgb))
+
+
+# ---------------------------------------------------------------------------
+# Channel-fused density+app tables (pack_params_fused): the shade-all
+# compact paths (app_k >= compact_k) gather ONE row per sample per factor
+# serving both heads — must equal the split-table features exactly.
+# ---------------------------------------------------------------------------
+
+
+def _fused_vs_split(cfg, grid):
+    params = tf.init_params(jax.random.PRNGKey(7), cfg, grid)
+    xn = jnp.asarray(
+        np.random.default_rng(1).uniform(-1, 1, (257, 3)).astype(np.float32)
+    )
+
+    def split_fn(p):
+        packed = tf.pack_params(cfg, p)
+        return (
+            tf.compute_density_feature_packed(cfg, packed, xn),
+            tf.compute_app_feature_packed(cfg, packed, xn),
+        )
+
+    def fused_fn(p):
+        return tf.compute_fused_features_packed(
+            cfg, tf.pack_params_fused(cfg, p), xn
+        )
+
+    sig_s, app_s = split_fn(params)
+    sig_f, app_f = fused_fn(params)
+    np.testing.assert_allclose(
+        np.asarray(sig_f), np.asarray(sig_s), rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(app_f), np.asarray(app_s), rtol=1e-6, atol=1e-6
+    )
+
+    # gradients w.r.t. the canonical params must agree too (the fused
+    # backward scatters into the concatenated table and slices apart)
+    def loss_split(p):
+        s, a = split_fn(p)
+        return jnp.sum(s**2) + jnp.sum(jnp.sin(a))
+
+    def loss_fused(p):
+        s, a = fused_fn(p)
+        return jnp.sum(s**2) + jnp.sum(jnp.sin(a))
+
+    g_s = jax.grad(loss_split)(params)
+    g_f = jax.grad(loss_fused)(params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
+        ),
+        g_f, g_s,
+    )
+
+
+def test_fused_features_vm_split():
+    # asymmetric per-axis comps exercise the per-plane channel split
+    cfg = tf.TensoRFConfig(
+        density_n_comp=(4, 6, 8), app_n_comp=(8, 10, 12), app_dim=12,
+        fea_pe=2, feature_c=32,
+    )
+    _fused_vs_split(cfg, (12, 16, 20))
+
+
+def test_fused_features_cp():
+    cfg = tf.TensoRFConfig(
+        model_name="cp", density_n_comp=(6, 6, 6), app_n_comp=(10, 10, 10),
+        app_dim=12, fea_pe=2, feature_c=32,
+    )
+    _fused_vs_split(cfg, (12, 16, 20))
+
+
+def test_fused_features_vm():
+    cfg = tf.TensoRFConfig(
+        model_name="vm", density_n_comp=(4, 4, 4), app_n_comp=(8, 8, 8),
+        app_dim=24, fea_pe=2, feature_c=32,
+    )
+    _fused_vs_split(cfg, (16, 16, 16))
+
+
+def test_compact_shade_all_matches_topk_subset():
+    """app_k == compact_k (the fused shade-all path) must agree with a
+    top-K run whose K covers every above-threshold sample (app_k just
+    below compact_k exercises the split-table branch)."""
+    params, alpha_mask = _field_and_mask()
+    rays = _rays(seed=9)
+    fused = R.render_rays_compact(
+        CFG, params, AABB, rays, alpha_mask,
+        n_samples=64, compact_k=32, app_k=32, white_bg=True,
+        feature_dtype="fp32",
+    )
+    topk = R.render_rays_compact(
+        CFG, params, AABB, rays, alpha_mask,
+        n_samples=64, compact_k=32, app_k=31, white_bg=True,
+        feature_dtype="fp32",
+    )
+    occupancy = (np.asarray(fused.weights) > CFG.raymarch_weight_thres).sum(-1)
+    assert occupancy.max() <= 31  # top-31 covers all live samples here
+    np.testing.assert_allclose(
+        np.asarray(fused.rgb), np.asarray(topk.rgb), rtol=1e-5, atol=1e-5
+    )

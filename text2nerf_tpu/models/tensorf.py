@@ -478,6 +478,100 @@ def compute_density_feature_grouped(
     return jnp.stack(sigma_g, axis=-1).astype(jnp.float32)
 
 
+def pack_params_fused(cfg: TensoRFConfig, params):
+    """Channel-fused density+appearance gather tables.
+
+    TPU rationale (PERF.md "The gather wall"): row-gather and scatter-add
+    costs are per-ROW and invariant to row width.  On paths where
+    appearance is evaluated at the SAME sample positions as density (the
+    compacted train/eval renderers when every compacted sample is shaded,
+    i.e. ``app_k >= compact_k``), gathering a (density ‖ app)
+    channel-concatenated row serves both heads from ONE row per factor —
+    halving the forward gather rows AND the backward scatter rows (the
+    step's dominant cost) vs separate density/app tables.  Numerically
+    identical to the split tables: bilinear interpolation is per-channel.
+
+    The fused ``vm`` decomposition (tensoRF.py:9-14) already stores both
+    heads in one tensor — its pack IS this layout; vm_split/cp concat
+    their factor pairs (density channels first).
+    """
+    from ..ops import fused_gather as fg
+
+    packed = {"fused": [], "nd": tuple(cfg.density_n_comp)}
+    if cfg.model_name == "cp":
+        for i in range(3):
+            fl = jnp.concatenate(
+                [params["density_lines"][i], params["app_lines"][i]], axis=-1
+            )
+            packed["fused"].append((fg.pack_line(fl), fl.shape))
+    elif cfg.model_name == "vm_split":
+        for i in range(3):
+            fp = jnp.concatenate(
+                [params["density_planes"][i], params["app_planes"][i]], axis=-1
+            )
+            fl = jnp.concatenate(
+                [params["density_lines"][i], params["app_lines"][i]], axis=-1
+            )
+            packed["fused"].append(
+                (fg.pack_plane(fp), fp.shape, fg.pack_line(fl), fl.shape)
+            )
+    else:  # vm: natively fused, but app channels lead (tensoRF.py:46-59)
+        nd, na = cfg.density_n_comp[0], cfg.app_n_comp[0]
+        for i in range(3):
+            fp = jnp.concatenate(
+                [params["planes"][i][..., -nd:], params["planes"][i][..., :na]],
+                axis=-1,
+            )
+            fl = jnp.concatenate(
+                [params["lines"][i][..., -nd:], params["lines"][i][..., :na]],
+                axis=-1,
+            )
+            packed["fused"].append(
+                (fg.pack_plane(fp), fp.shape, fg.pack_line(fl), fl.shape)
+            )
+    packed["basis"] = params["basis"]
+    if "mlp" in params:
+        packed["mlp"] = params["mlp"]
+    return packed
+
+
+def compute_fused_features_packed(cfg: TensoRFConfig, packed, xn, dtype=None):
+    """Density feature AND appearance features at ``xn`` from the fused
+    tables (one gathered row per sample per factor — see
+    :func:`pack_params_fused`).  Returns ``(density_feat (N,), app (N,
+    app_dim))`` — each equal to its split-table counterpart
+    (compute_density_feature_packed / compute_app_feature_packed) up to fp
+    reassociation order."""
+    from ..ops import fused_gather as fg
+
+    basis = packed["basis"] if dtype is None else packed["basis"].astype(dtype)
+    if cfg.model_name == "cp":
+        nd = packed["nd"][0]
+        prod = None
+        for i in range(3):
+            tbl, (l, c) = packed["fused"][i]
+            lf = fg.sample_packed_line(tbl, l, c, xn[:, VEC_MODE[i]], dtype)
+            prod = lf if prod is None else prod * lf
+        sigma = jnp.sum(prod[:, :nd], axis=-1)
+        app = prod[:, nd:] @ basis
+        return sigma.astype(jnp.float32), app.astype(jnp.float32)
+
+    sigma = None
+    feats = []
+    for i in range(3):
+        m0, m1 = MAT_MODE[i]
+        nd = packed["nd"][i] if cfg.model_name == "vm_split" else packed["nd"][0]
+        ptbl, (h, w, c), ltbl, (l, _) = packed["fused"][i]
+        pf = fg.sample_packed_plane(ptbl, h, w, c, xn[:, m0], xn[:, m1], dtype)
+        lf = fg.sample_packed_line(ltbl, l, c, xn[:, VEC_MODE[i]], dtype)
+        prod = pf * lf
+        part = jnp.sum(prod[:, :nd], axis=-1)
+        sigma = part if sigma is None else sigma + part
+        feats.append(prod[:, nd:])
+    app = jnp.concatenate(feats, axis=-1) @ basis
+    return sigma.astype(jnp.float32), app.astype(jnp.float32)
+
+
 def compute_app_feature_packed(cfg: TensoRFConfig, packed, xn, dtype=None):
     """Fast-path appearance features via corner-packed gathers."""
     from ..ops import fused_gather as fg

@@ -437,10 +437,21 @@ def _render_rays_compact(
     pts_k = jnp.take_along_axis(pts, idx[..., None], axis=1)
     xn_k = jnp.clip(tf.normalize_coord(aabb, pts_k), -1.0, 1.0)
 
-    packed = tf.pack_params(cfg, params)
-    feat = tf.compute_density_feature_packed(
-        cfg, packed, xn_k.reshape(-1, 3), dtype=fdt
-    ).reshape(b, k)
+    # app_k >= k shades every compacted sample → the channel-fused tables
+    # serve density AND appearance from one gathered row per factor (half
+    # the rows; see pack_params_fused + the train-compact path below)
+    shade_all = app_k >= k
+    if shade_all:
+        feat, app_feat = tf.compute_fused_features_packed(
+            cfg, tf.pack_params_fused(cfg, params),
+            xn_k.reshape(-1, 3), dtype=fdt,
+        )
+        feat = feat.reshape(b, k)
+    else:
+        packed = tf.pack_params(cfg, params)
+        feat = tf.compute_density_feature_packed(
+            cfg, packed, xn_k.reshape(-1, 3), dtype=fdt
+        ).reshape(b, k)
     sigma = jnp.where(k_live, tf.feature2density(cfg, feat), 0.0)
     # uniform eval sampling → every inter-sample dist is exactly `step`,
     # except the dense march's final sample which carries dist 0
@@ -449,13 +460,17 @@ def _render_rays_compact(
     _, weights, _ = raw2alpha(sigma, dists)
     acc = jnp.sum(weights, axis=-1)
 
-    k2 = min(app_k, k)
-    w_top, aidx = jax.lax.top_k(weights, k2)
-    xn_a = jnp.take_along_axis(xn_k, aidx[..., None], axis=1)
+    if shade_all:
+        k2 = k
+        w_top, xn_a = weights, xn_k
+    else:
+        k2 = min(app_k, k)
+        w_top, aidx = jax.lax.top_k(weights, k2)
+        xn_a = jnp.take_along_axis(xn_k, aidx[..., None], axis=1)
+        app_feat = tf.compute_app_feature_packed(
+            cfg, packed, xn_a.reshape(-1, 3), dtype=fdt
+        )
     app_ok = (w_top > cfg.raymarch_weight_thres)[..., None]
-    app_feat = tf.compute_app_feature_packed(
-        cfg, packed, xn_a.reshape(-1, 3), dtype=fdt
-    )
     dirs_a = jnp.broadcast_to(rays_d[:, None], (b, k2, 3)).reshape(-1, 3)
     rgb_a = _shade(
         cfg, params, xn_a.reshape(-1, 3), dirs_a, app_feat, False
@@ -602,13 +617,29 @@ def _render_rays_train_compact(
     )
     xn_k = jnp.clip(tf.normalize_coord(aabb, pts_k), -1.0, 1.0)
 
-    packed = tf.pack_params(cfg, params)
-    if g > 1:
+    # when every compacted sample is shaded (app_k covers the compacted
+    # set — the trainer default app_k == compact_k), density and
+    # appearance read the SAME sample positions: the channel-fused tables
+    # (tensorf.pack_params_fused) serve both heads from one gathered row
+    # per factor, halving the forward gather AND backward scatter rows vs
+    # split tables (gather/scatter cost is row-count-bound, PERF.md).
+    # top_k is also skipped — shading all samples above the weight
+    # threshold is exactly the reference rule (tensorBase.py:477-492).
+    shade_all = app_k >= kg * g
+    if shade_all:
+        feat, app_feat = tf.compute_fused_features_packed(
+            cfg, tf.pack_params_fused(cfg, params),
+            xn_k.reshape(-1, 3), dtype=fdt,
+        )
+        feat = feat.reshape(b, kg * g)
+    elif g > 1:
+        packed = tf.pack_params(cfg, params)
         grouped = tf.pack_params_grouped(cfg, params, block=density_block)
         feat = tf.compute_density_feature_grouped(
             cfg, grouped, xn_k.reshape(-1, g, 3), block=density_block, dtype=fdt
         ).reshape(b, kg * g)
     else:
+        packed = tf.pack_params(cfg, params)
         feat = tf.compute_density_feature_packed(
             cfg, packed, xn_k.reshape(-1, 3), dtype=fdt
         ).reshape(b, kg * g)
@@ -620,13 +651,17 @@ def _render_rays_train_compact(
     _, weights, _ = raw2alpha(sigma, dists)
     acc = jnp.sum(weights, axis=-1)
 
-    k2 = min(app_k, kg * g)
-    w_top, aidx = jax.lax.top_k(weights, k2)
-    xn_a = jnp.take_along_axis(xn_k, aidx[..., None], axis=1)
+    if shade_all:
+        k2 = kg * g
+        w_top, xn_a = weights, xn_k
+    else:
+        k2 = min(app_k, kg * g)
+        w_top, aidx = jax.lax.top_k(weights, k2)
+        xn_a = jnp.take_along_axis(xn_k, aidx[..., None], axis=1)
+        app_feat = tf.compute_app_feature_packed(
+            cfg, packed, xn_a.reshape(-1, 3), dtype=fdt
+        )
     app_ok = (w_top > cfg.raymarch_weight_thres)[..., None]
-    app_feat = tf.compute_app_feature_packed(
-        cfg, packed, xn_a.reshape(-1, 3), dtype=fdt
-    )
     dirs_a = jnp.broadcast_to(rays_d[:, None], (b, k2, 3)).reshape(-1, 3)
     rgb_a = _shade(
         cfg, params, xn_a.reshape(-1, 3), dirs_a, app_feat, True

@@ -40,6 +40,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from text2nerf_tpu.utils.compilation_cache import (
+        enable_persistent_compilation_cache,
+    )
+
+    enable_persistent_compilation_cache()
+
     from text2nerf_tpu.models import tensorf as tf
     from text2nerf_tpu.engine import train_step as ts
 
