@@ -106,9 +106,14 @@ def measure_render(cfg, params, aabb, alpha_mask, n_samples, n_views=4):
     def render_view(rays):
         outs = []
         for s in range(0, rays.shape[0], chunk):
+            # app_k == compact_k hits the channel-fused shade-all path
+            # (one gathered row per sample per factor, PERF.md round-3
+            # session 5): measured +7.8% over app_k=48 on this scene, and
+            # exact — every above-threshold sample is shaded, no top-K
+            # truncation (tensorBase.py:477-492 semantics).
             out = Rd.render_rays_compact(
                 cfg, params, aabb, rays[s : s + chunk], alpha_mask,
-                n_samples=n_samples, compact_k=64, app_k=48, white_bg=True,
+                n_samples=n_samples, compact_k=64, app_k=64, white_bg=True,
             )
             outs.append(out.rgb)
         return outs
