@@ -110,3 +110,62 @@ def test_expand_mask_blur():
     # known region shrinks by the blur radius near the boundary
     assert out[:, :7].all()
     assert not out[:, 8:].any()
+
+
+def _random_rgbd(seed, h=24, w=20, zero_frac=0.08):
+    rng = np.random.default_rng(seed)
+    depth = rng.uniform(0.5, 6.0, (h, w)).astype(np.float32)
+    # step edges to create real discontinuities, plus zero-depth holes
+    depth[:, w // 2 :] *= 2.5
+    depth[h // 3 :, :] += 1.7
+    depth[rng.uniform(size=(h, w)) < zero_frac] = 0.0
+    img = rng.uniform(0, 255, (h, w, 3)).astype(np.float32)
+    return depth, img
+
+
+def test_native_bilateral_bit_exact_vs_device():
+    """The host C++ path is bit-exact to the jitted XLA program: the
+    filter's coefs are binary so the weighted-median has no fp ambiguity."""
+    from text2nerf_tpu import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    for seed, mask_on, fs, ni in (
+        (0, False, (5, 5, 3, 3), 4),
+        (1, True, (5, 5, 3, 3), 4),
+        (2, False, (7, 5, 5, 3, 3), 5),
+        (3, True, (3,), 2),
+    ):
+        depth, img = _random_rgbd(seed)
+        mask = None
+        if mask_on:
+            rng = np.random.default_rng(100 + seed)
+            mask = (rng.uniform(size=depth.shape) > 0.2).astype(np.float32)
+        img_d, depth_d = filters.sparse_bilateral_filtering(
+            depth, img, filter_size=fs, depth_threshold=0.02,
+            num_iter=ni, mask=mask, backend="device",
+        )
+        img_n, depth_n = filters.sparse_bilateral_filtering(
+            depth, img, filter_size=fs, depth_threshold=0.02,
+            num_iter=ni, mask=mask, backend="native",
+        )
+        np.testing.assert_array_equal(np.asarray(depth_d), depth_n)
+        np.testing.assert_array_equal(np.asarray(img_d), img_n)
+
+
+def test_bilateral_auto_backend_dispatch():
+    """auto picks native for host inputs (when the lib loads) and the
+    device program for device-resident inputs."""
+    from text2nerf_tpu import native
+
+    depth, img = _random_rgbd(7, h=12, w=10)
+    out_auto = filters.sparse_bilateral_filtering(depth, img, num_iter=2)
+    out_dev = filters.sparse_bilateral_filtering(
+        jnp.asarray(depth), jnp.asarray(img), num_iter=2, backend="device"
+    )
+    np.testing.assert_array_equal(np.asarray(out_auto[1]), np.asarray(out_dev[1]))
+    np.testing.assert_array_equal(np.asarray(out_auto[0]), np.asarray(out_dev[0]))
+    if native.available():
+        assert isinstance(out_auto[0], np.ndarray)

@@ -67,6 +67,12 @@ def load() -> Optional[ctypes.CDLL]:
             i16p, i16p, f32p, f32p, f32p, ctypes.c_void_p, u8p,
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ]
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        lib.sparse_bilateral.argtypes = [
+            f32p, f32p, f32p, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            i32p, ctypes.c_int, ctypes.c_float,
+        ]
         _LIB = lib
     except subprocess.CalledProcessError as e:
         _LOAD_ERROR = (e.stderr or b"").decode(errors="replace")[:500]
@@ -129,6 +135,33 @@ def hole_fill1(image, mask, fill_value: float = 255.0):
     h, w, c = img.shape
     lib.dibr_hole_fill1(img, m, h, w, c, ctypes.c_float(fill_value))
     return img, m
+
+
+def sparse_bilateral(depth, image, filter_size, depth_threshold: float,
+                     mask=None):
+    """Iterative sparse bilateral filter (bilateral_filtering.py:5-35),
+    bit-exact to ops.filters._sparse_bilateral_program (golden-tested).
+
+    ``filter_size`` is the per-pass window list (already truncated to
+    num_iter - 1 entries).  Returns (image', depth') as float32 numpy.
+    """
+    lib = load()
+    assert lib is not None, "native library unavailable"
+    d = np.ascontiguousarray(np.asarray(depth, np.float32)).copy()
+    img = np.ascontiguousarray(np.asarray(image, np.float32)).copy()
+    d0 = np.ascontiguousarray(np.asarray(depth, np.float32))
+    h, w = d.shape
+    c = img.shape[-1]
+    fs = np.ascontiguousarray(np.asarray(filter_size, np.int32))
+    if mask is not None:
+        m = np.ascontiguousarray(np.asarray(mask, np.float32))
+        mp = m.ctypes.data_as(ctypes.c_void_p)
+    else:
+        mp = None
+    lib.sparse_bilateral(
+        d, img, d0, mp, h, w, c, fs, len(fs), ctypes.c_float(depth_threshold)
+    )
+    return img, d
 
 
 def zbuffer_splat(xs, ys, zs, src):

@@ -16,6 +16,7 @@
 #include <cstdint>
 #include <cstring>
 #include <cmath>
+#include <vector>
 
 namespace {
 
@@ -149,6 +150,131 @@ void dibr_hole_fill1(float* image, float* mask, int h, int w, int c,
           image[(i * w + j) * c + cc] = fill_value;
         mask[i * w + j] = 0.f;
       }
+}
+
+// Sparse bilateral filtering (bilateral_filtering.py:5-35 driver +
+// :138-228 discontinuity-median branch), bit-exact to the jitted XLA
+// program in ops/filters.py (the coef weights are binary, so the
+// weighted-median selection has no fp-reassociation ambiguity).  This is
+// the host-native path: the filter is *sparse* (medians only where a
+// window touches a discontinuity) and on the tunneled single-chip setup
+// the device program costs ~1.8 s/call at 512x512 (PERF.md round 3)
+// while this runs at host memory speed.
+namespace {
+
+inline int clampi(int v, int lo, int hi) {
+  return v < lo ? lo : (v > hi ? hi : v);
+}
+
+// One weighted-median pass over `a` (H*W) given the binary discontinuity
+// map; ring-replacement + edge padding folds into clamp(i, 1, h-2).
+void discontinuity_median_pass(const float* a, const float* disc, int h,
+                               int w, int win, float* out) {
+  const int m = win / 2;
+  const int K = win * win;
+  std::vector<float> vals(K);
+  std::vector<float> coefs(K);
+  std::vector<int> ord(K);
+  for (int i = 0; i < h; ++i) {
+    for (int j = 0; j < w; ++j) {
+      const float center = a[clampi(i, 1, h - 2) * w + clampi(j, 1, w - 2)];
+      bool touched = false, has_coef = false;
+      for (int di = -m; di <= m && !(touched && has_coef); ++di) {
+        const int ci = clampi(i + di, 1, h - 2) * w;
+        for (int dj = -m; dj <= m; ++dj) {
+          const float d = disc[ci + clampi(j + dj, 1, w - 2)];
+          touched |= d > 0.f;
+          has_coef |= (1.f - d) > 0.f;
+        }
+      }
+      if (!touched || !has_coef) {
+        out[i * w + j] = center;
+        continue;
+      }
+      int k = 0;
+      float csum = 0.f;
+      for (int di = -m; di <= m; ++di) {
+        const int ci = clampi(i + di, 1, h - 2) * w;
+        for (int dj = -m; dj <= m; ++dj, ++k) {
+          const int src = ci + clampi(j + dj, 1, w - 2);
+          vals[k] = a[src];
+          coefs[k] = 1.f - disc[src];
+          csum += coefs[k];
+        }
+      }
+      // stable insertion sort of indices by value (jnp.argsort is stable)
+      for (int kk = 0; kk < K; ++kk) {
+        int p = kk;
+        const float v = vals[kk];
+        while (p > 0 && vals[ord[p - 1]] > v) {
+          ord[p] = ord[p - 1];
+          --p;
+        }
+        ord[p] = kk;
+      }
+      // idx = #(cumsum(coef_sorted / csum) <= 0.5), clamped to K-1
+      float cum = 0.f;
+      int idx = 0;
+      for (int kk = 0; kk < K; ++kk) {
+        cum += coefs[ord[kk]] / csum;
+        if (cum <= 0.5f) ++idx;
+      }
+      if (idx > K - 1) idx = K - 1;
+      out[i * w + j] = vals[ord[idx]];
+    }
+  }
+}
+
+}  // namespace
+
+// Iterative sparse bilateral filter: `num_filters` passes of window sizes
+// `filter_size[k]`, discontinuities recomputed from the *filtered* depth
+// each pass (disparity-edge maps, bilateral_filtering.py:72-122), image
+// channels filtered with the same map.  depth_io (H*W) and image_io
+// (H*W*C) are updated in place; depth0 is the ORIGINAL depth (zero-depth
+// pixels force disc=1); mask (H*W) may be null.
+void sparse_bilateral(float* depth_io, float* image_io, const float* depth0,
+                      const float* mask, int h, int w, int c,
+                      const int32_t* filter_size, int num_filters,
+                      float threshold) {
+  const size_t n = (size_t)h * w;
+  std::vector<float> disp(n), disc(n), buf(n), chan(n);
+  for (int it = 0; it < num_filters; ++it) {
+    const int win = filter_size[it];
+    // disparity discontinuity -> binary disc map (borders zero, then the
+    // depth0==0 / mask==0 overrides applied over the FULL map)
+    for (size_t p = 0; p < n; ++p) disp[p] = 1.f / depth_io[p];
+    std::memset(disc.data(), 0, n * sizeof(float));
+    for (int i = 1; i < h - 1; ++i)
+      for (int j = 1; j < w - 1; ++j) {
+        const size_t p = (size_t)i * w + j;
+        float du = disp[p] - disp[p - w];
+        float db = disp[p] - disp[p + w];
+        float dl = disp[p] - disp[p - 1];
+        float dr = disp[p] - disp[p + 1];
+        if (mask) {
+          du *= mask[p] * mask[p - w];
+          db *= mask[p] * mask[p + w];
+          dl *= mask[p] * mask[p - 1];
+          dr *= mask[p] * mask[p + 1];
+        }
+        if (std::fabs(du) > threshold || std::fabs(db) > threshold ||
+            std::fabs(dl) > threshold || std::fabs(dr) > threshold)
+          disc[p] = 1.f;
+      }
+    for (size_t p = 0; p < n; ++p) {
+      if (depth0[p] == 0.f) disc[p] = 1.f;
+      if (mask && mask[p] == 0.f) disc[p] = 0.f;
+    }
+    discontinuity_median_pass(depth_io, disc.data(), h, w, win, buf.data());
+    std::memcpy(depth_io, buf.data(), n * sizeof(float));
+    for (int cc = 0; cc < c; ++cc) {
+      for (size_t p = 0; p < n; ++p) chan[p] = image_io[p * c + cc];
+      discontinuity_median_pass(chan.data(), disc.data(), h, w, win,
+                                buf.data());
+      for (size_t p = 0; p < n; ++p) image_io[p * c + cc] = buf[p];
+    }
+  }
 }
 
 // Sequential z-buffer point splat (the legacy per-pixel warp path,

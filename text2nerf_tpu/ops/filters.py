@@ -26,6 +26,7 @@ bottleneck):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -147,19 +148,44 @@ def sparse_bilateral_filtering(
     depth_threshold: float = 0.02,
     num_iter: int = 4,
     mask=None,
+    backend: str = "auto",
 ):
     """Iterative discontinuity-aware median filtering of depth + RGB.
 
     Mirrors sparse_bilateral_filtering (bilateral_filtering.py:5-35)
     including the reference's save-before-filter behavior: the returned
-    state has ``num_iter - 1`` filter applications applied.  Runs as a
-    single jitted program keyed on (shape, filter_size, num_iter).
+    state has ``num_iter - 1`` filter applications applied.
 
-    Returns (image', depth') as jnp arrays.
+    ``backend``: 'native' runs the host C++ kernel (bit-exact, golden
+    tested vs the jitted program); 'device' runs the single jitted XLA
+    program; 'auto' (default) picks native for host-resident inputs when
+    the library loads — the filter is sparse (medians only at
+    discontinuity windows) and every shipping call site feeds/consumes
+    host numpy, so on the tunneled single chip the native path skips a
+    ~1.8 s/call device program plus the transfers (PERF.md round 3).
+    TEXT2NERF_BILATERAL=native|device overrides 'auto'.
+
+    Returns (image', depth') — numpy on the native path, jnp otherwise
+    (all call sites normalize via np.asarray).
     """
     if np.isscalar(filter_size):
         filter_size = (int(filter_size),) * max(num_iter - 1, 0)
     fs = tuple(int(w) for w in filter_size)[: max(num_iter - 1, 0)]
+    if backend == "auto":
+        backend = os.environ.get("TEXT2NERF_BILATERAL", "auto")
+    if backend == "auto":
+        on_host = not isinstance(depth, jax.Array) and not isinstance(
+            image, jax.Array
+        )
+        from text2nerf_tpu import native
+
+        backend = "native" if (on_host and native.available()) else "device"
+    if backend == "native":
+        from text2nerf_tpu import native
+
+        return native.sparse_bilateral(
+            depth, image, fs, depth_threshold, mask=mask
+        )
     depth0 = jnp.asarray(depth, jnp.float32)
     image0 = jnp.asarray(image, jnp.float32)
     has_mask = mask is not None
