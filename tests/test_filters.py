@@ -58,6 +58,54 @@ def test_median_filter_matches_reference_loop(rng):
     np.testing.assert_allclose(ours, ref, atol=1e-6)
 
 
+def _ref_median_filter_masked(values, disc, mask, window):
+    """Literal per-pixel implementation of the discontinuity branch WITH
+    mask (bilateral_filtering.py:163-199): mask==0 centers skipped, coef
+    multiplied by the zero-padded raw mask patch."""
+    m = window // 2
+    v = np.pad(values[1:-1, 1:-1], 1, mode="edge")
+    d = np.pad(disc[1:-1, 1:-1], 1, mode="edge")
+    pv = np.pad(v, m, mode="edge")
+    pd = np.pad(d, m, mode="edge")
+    pm = np.pad(mask, m, mode="constant")
+    out = v.copy()
+    h, w = v.shape
+    for i in range(h):
+        for j in range(w):
+            if mask[i, j] == 0:
+                continue
+            dp = pd[i : i + window, j : j + window]
+            if not dp.any():
+                continue
+            patch = pv[i : i + window, j : j + window]
+            coef = (1.0 - dp) * pm[i : i + window, j : j + window]
+            if coef.max() == 0:
+                out[i, j] = patch[m, m]
+                continue
+            order = patch.ravel().argsort()
+            coef = coef / coef.sum()
+            cum = np.cumsum(coef.ravel()[order])
+            ind = np.digitize(0.5, cum)
+            out[i, j] = patch.ravel()[order][min(ind, window * window - 1)]
+    return out
+
+
+def test_median_filter_mask_matches_reference_loop(rng):
+    values = rng.uniform(1, 5, (12, 12)).astype(np.float32)
+    disc = (rng.uniform(0, 1, (12, 12)) > 0.7).astype(np.float32)
+    mask = (rng.uniform(0, 1, (12, 12)) > 0.3).astype(np.float32)
+    ours = np.asarray(
+        filters.discontinuity_median_filter(
+            jnp.asarray(values), jnp.asarray(disc), 5, mask=jnp.asarray(mask)
+        )
+    )
+    ref = _ref_median_filter_masked(values, disc, mask, 5)
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+    # masked-out centers keep their (ring-replaced) value
+    v = np.pad(values[1:-1, 1:-1], 1, mode="edge")
+    np.testing.assert_array_equal(ours[mask == 0], v[mask == 0])
+
+
 def test_median_filter_constant_unchanged():
     values = np.full((8, 8), 3.0, np.float32)
     disc = np.zeros((8, 8), np.float32)

@@ -150,11 +150,16 @@ def sparse_bilateral(depth, image, filter_size, depth_threshold: float,
     d = np.ascontiguousarray(np.asarray(depth, np.float32)).copy()
     img = np.ascontiguousarray(np.asarray(image, np.float32)).copy()
     d0 = np.ascontiguousarray(np.asarray(depth, np.float32))
+    # rank guards: a 2D image would make c == W below and the C++ kernel
+    # would read/write H*W*W floats — heap corruption, not a Python error
+    assert img.ndim == 3, f"image must be (H, W, C), got {img.shape}"
     h, w = d.shape
+    assert img.shape[:2] == (h, w), (img.shape, d.shape)
     c = img.shape[-1]
     fs = np.ascontiguousarray(np.asarray(filter_size, np.int32))
     if mask is not None:
         m = np.ascontiguousarray(np.asarray(mask, np.float32))
+        assert m.shape == (h, w), (m.shape, d.shape)
         mp = m.ctypes.data_as(ctypes.c_void_p)
     else:
         mp = None

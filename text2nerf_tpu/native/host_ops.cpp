@@ -153,13 +153,15 @@ void dibr_hole_fill1(float* image, float* mask, int h, int w, int c,
 }
 
 // Sparse bilateral filtering (bilateral_filtering.py:5-35 driver +
-// :138-228 discontinuity-median branch), bit-exact to the jitted XLA
-// program in ops/filters.py (the coef weights are binary, so the
-// weighted-median selection has no fp-reassociation ambiguity).  This is
-// the host-native path: the filter is *sparse* (medians only where a
-// window touches a discontinuity) and on the tunneled single-chip setup
-// the device program costs ~1.8 s/call at 512x512 (PERF.md round 3)
-// while this runs at host memory speed.
+// :138-228 discontinuity-median branch), bit-exact to the CPU-backend
+// jitted XLA program in ops/filters.py (golden-tested): both run the
+// reference's sequential float32 normalized prefix sum, whose rounding
+// at near weight ties is part of the semantics.  (A TPU execution of the
+// device program uses a log-depth scan and may flip a tie by 1 ULP; the
+// shipping call sites all run this native path.)  The filter is *sparse*
+// (medians only where a window touches a discontinuity) and on the
+// tunneled single-chip setup the device program costs ~1.8 s/call at
+// 512x512 (PERF.md round 3) while this runs at host memory speed.
 namespace {
 
 inline int clampi(int v, int lo, int hi) {
@@ -168,8 +170,13 @@ inline int clampi(int v, int lo, int hi) {
 
 // One weighted-median pass over `a` (H*W) given the binary discontinuity
 // map; ring-replacement + edge padding folds into clamp(i, 1, h-2).
-void discontinuity_median_pass(const float* a, const float* disc, int h,
-                               int w, int win, float* out) {
+// `mask` (nullable) applies the reference's mask rules
+// (bilateral_filtering.py:163-184): mask==0 centers are skipped and the
+// coef window is multiplied by the ZERO-padded raw mask (the mask is
+// neither ring-replaced nor edge-padded).
+void discontinuity_median_pass(const float* a, const float* disc,
+                               const float* mask, int h, int w, int win,
+                               float* out) {
   const int m = win / 2;
   const int K = win * win;
   std::vector<float> vals(K);
@@ -178,13 +185,24 @@ void discontinuity_median_pass(const float* a, const float* disc, int h,
   for (int i = 0; i < h; ++i) {
     for (int j = 0; j < w; ++j) {
       const float center = a[clampi(i, 1, h - 2) * w + clampi(j, 1, w - 2)];
+      if (mask && mask[i * w + j] == 0.f) {
+        out[i * w + j] = center;
+        continue;
+      }
       bool touched = false, has_coef = false;
       for (int di = -m; di <= m && !(touched && has_coef); ++di) {
         const int ci = clampi(i + di, 1, h - 2) * w;
+        const int mi = i + di;
         for (int dj = -m; dj <= m; ++dj) {
           const float d = disc[ci + clampi(j + dj, 1, w - 2)];
+          const int mj = j + dj;
+          const float mw =
+              !mask ? 1.f
+                    : (mi < 0 || mi >= h || mj < 0 || mj >= w
+                           ? 0.f
+                           : mask[mi * w + mj]);
           touched |= d > 0.f;
-          has_coef |= (1.f - d) > 0.f;
+          has_coef |= (1.f - d) * mw > 0.f;
         }
       }
       if (!touched || !has_coef) {
@@ -195,10 +213,17 @@ void discontinuity_median_pass(const float* a, const float* disc, int h,
       float csum = 0.f;
       for (int di = -m; di <= m; ++di) {
         const int ci = clampi(i + di, 1, h - 2) * w;
+        const int mi = i + di;
         for (int dj = -m; dj <= m; ++dj, ++k) {
           const int src = ci + clampi(j + dj, 1, w - 2);
+          const int mj = j + dj;
+          const float mw =
+              !mask ? 1.f
+                    : (mi < 0 || mi >= h || mj < 0 || mj >= w
+                           ? 0.f
+                           : mask[mi * w + mj]);
           vals[k] = a[src];
-          coefs[k] = 1.f - disc[src];
+          coefs[k] = (1.f - disc[src]) * mw;
           csum += coefs[k];
         }
       }
@@ -212,7 +237,10 @@ void discontinuity_median_pass(const float* a, const float* disc, int h,
         }
         ord[p] = kk;
       }
-      // idx = #(cumsum(coef_sorted / csum) <= 0.5), clamped to K-1
+      // idx = #(cumsum(coef_sorted / csum) <= 0.5), clamped to K-1 — the
+      // reference's digitize rule with its sequential float32 accumulation
+      // (near weight ties the rounding decides the index, so the float
+      // order is part of the semantics)
       float cum = 0.f;
       int idx = 0;
       for (int kk = 0; kk < K; ++kk) {
@@ -266,11 +294,12 @@ void sparse_bilateral(float* depth_io, float* image_io, const float* depth0,
       if (depth0[p] == 0.f) disc[p] = 1.f;
       if (mask && mask[p] == 0.f) disc[p] = 0.f;
     }
-    discontinuity_median_pass(depth_io, disc.data(), h, w, win, buf.data());
+    discontinuity_median_pass(depth_io, disc.data(), mask, h, w, win,
+                              buf.data());
     std::memcpy(depth_io, buf.data(), n * sizeof(float));
     for (int cc = 0; cc < c; ++cc) {
       for (size_t p = 0; p < n; ++p) chan[p] = image_io[p * c + cc];
-      discontinuity_median_pass(chan.data(), disc.data(), h, w, win,
+      discontinuity_median_pass(chan.data(), disc.data(), mask, h, w, win,
                                 buf.data());
       for (size_t p = 0; p < n; ++p) image_io[p * c + cc] = buf[p];
     }

@@ -68,27 +68,34 @@ def _window_stack(x, win: int):
     return jnp.stack(views, axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("window",))
-def discontinuity_median_filter(values, discontinuity, window: int):
+def discontinuity_median_filter(values, discontinuity, window: int,
+                                mask=None):
     """One weighted-median pass of the sparse bilateral filter.
 
     Mirrors bilateral_filter's discontinuity branch
     (bilateral_filtering.py:167-198): border ring replaced by its neighbor
     ring, edge padding, coef = 1 - discontinuity over the window, weighted
     median ordered by value, untouched where the window has no
-    discontinuity or all coefs are zero.
+    discontinuity or all coefs are zero.  With ``mask`` the reference's
+    mask rules apply (bilateral_filtering.py:163-184): mask==0 centers are
+    skipped, and the coef window is multiplied by the ZERO-padded mask
+    patch (the mask is neither ring-replaced nor edge-padded), so
+    masked-out neighbors contribute no weight.
     """
-    m = window // 2
-    # ring replacement (bilateral_filtering.py:148-155)
-    v = jnp.pad(values[1:-1, 1:-1], ((1, 1), (1, 1)), mode="edge")
-    d = jnp.pad(discontinuity[1:-1, 1:-1], ((1, 1), (1, 1)), mode="edge")
-    pv = jnp.pad(v, ((m, m), (m, m)), mode="edge")
-    pd = jnp.pad(d, ((m, m), (m, m)), mode="edge")
+    if mask is None:
+        return _disc_median(values, discontinuity, window=window)
+    return _disc_median_masked(values, discontinuity, mask, window=window)
 
-    vals = _window_stack(pv, window)          # (H, W, K)
-    disc = _window_stack(pd, window)          # (H, W, K)
-    coef = 1.0 - disc
 
+def _median_core(vals, disc, coef, v, window: int):
+    """Shared weighted-median selection, replicating the reference's
+    digitize(0.5, cumsum(coef/sum)) rule (bilateral_filtering.py:195-198)
+    including its float accumulation order: near an exact weight tie
+    (2*count == total) the rounded normalized prefix sum decides the
+    index, so faithfulness requires the same sequential float32 cumsum —
+    which the CPU backend and the C++ path share (golden-tested).  TPU's
+    log-depth scan may differ by 1 ULP at those ties; the shipping call
+    sites all run the native path."""
     order = jnp.argsort(vals, axis=-1)
     vals_sorted = jnp.take_along_axis(vals, order, axis=-1)
     coef_sorted = jnp.take_along_axis(coef, order, axis=-1)
@@ -103,6 +110,41 @@ def discontinuity_median_filter(values, discontinuity, window: int):
     out = jnp.where(touched & has_coef, median, v)
     out = jnp.where(touched & ~has_coef, v, out)
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("window",))
+def _disc_median(values, discontinuity, window: int):
+    m = window // 2
+    # ring replacement (bilateral_filtering.py:148-155)
+    v = jnp.pad(values[1:-1, 1:-1], ((1, 1), (1, 1)), mode="edge")
+    d = jnp.pad(discontinuity[1:-1, 1:-1], ((1, 1), (1, 1)), mode="edge")
+    pv = jnp.pad(v, ((m, m), (m, m)), mode="edge")
+    pd = jnp.pad(d, ((m, m), (m, m)), mode="edge")
+
+    vals = _window_stack(pv, window)          # (H, W, K)
+    disc = _window_stack(pd, window)          # (H, W, K)
+    coef = 1.0 - disc
+    return _median_core(vals, disc, coef, v, window)
+
+
+@functools.partial(jax.jit, static_argnames=("window",))
+def _disc_median_masked(values, discontinuity, mask, window: int):
+    m = window // 2
+    v = jnp.pad(values[1:-1, 1:-1], ((1, 1), (1, 1)), mode="edge")
+    d = jnp.pad(discontinuity[1:-1, 1:-1], ((1, 1), (1, 1)), mode="edge")
+    pv = jnp.pad(v, ((m, m), (m, m)), mode="edge")
+    pd = jnp.pad(d, ((m, m), (m, m)), mode="edge")
+    # the mask patch is the RAW mask, zero-padded (bilateral_filtering.py:
+    # 164-166) — no ring replacement, no edge padding
+    pm = jnp.pad(mask, ((m, m), (m, m)))
+
+    vals = _window_stack(pv, window)
+    disc = _window_stack(pd, window)
+    mwin = _window_stack(pm, window)
+    coef = (1.0 - disc) * mwin
+    out = _median_core(vals, disc, coef, v, window)
+    # mask==0 centers are skipped entirely (bilateral_filtering.py:171-172)
+    return jnp.where(mask == 0, v, out)
 
 
 @functools.partial(
@@ -130,10 +172,13 @@ def _sparse_bilateral_program(
         disc = jnp.where(depth0 == 0, 1.0, disc)
         if has_mask:
             disc = jnp.where(mask == 0, 0.0, disc)
-        vis_depth = discontinuity_median_filter(vis_depth, disc, win)
+        mk = mask if has_mask else None
+        vis_depth = discontinuity_median_filter(vis_depth, disc, win, mask=mk)
         vis_image = jnp.stack(
             [
-                discontinuity_median_filter(vis_image[..., c], disc, win)
+                discontinuity_median_filter(
+                    vis_image[..., c], disc, win, mask=mk
+                )
                 for c in range(vis_image.shape[-1])
             ],
             axis=-1,
@@ -173,6 +218,11 @@ def sparse_bilateral_filtering(
     fs = tuple(int(w) for w in filter_size)[: max(num_iter - 1, 0)]
     if backend == "auto":
         backend = os.environ.get("TEXT2NERF_BILATERAL", "auto")
+    if backend not in ("auto", "native", "device"):
+        raise ValueError(
+            f"unknown bilateral backend {backend!r} "
+            "(TEXT2NERF_BILATERAL must be auto|native|device)"
+        )
     if backend == "auto":
         on_host = not isinstance(depth, jax.Array) and not isinstance(
             image, jax.Array
