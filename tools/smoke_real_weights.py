@@ -77,6 +77,25 @@ def main(argv=None):
     print(json.dumps({"services": resolution}), flush=True)
 
     if not args.skip_convert and os.path.isdir(args.weights):
+        # manifest validation BEFORE conversion: a present-but-wrong
+        # checkpoint fails here with named file/key/shape diffs against
+        # the conversion map it belongs to (weights_manifest docstring
+        # records the eps conventions the conversions apply)
+        from text2nerf_tpu.services import weights_manifest
+
+        reports = weights_manifest.validate_tree(args.weights)
+        for r in reports:
+            print(json.dumps({"manifest": r}), flush=True)
+        bad = [r for r in reports if r["status"] == "error"]
+        if bad:
+            print(json.dumps({
+                "status": "error",
+                "detail": "weights manifest validation failed",
+                "families": [r["family"] for r in bad],
+                "diffs": [d for r in bad for d in r["diffs"]][:20],
+            }), flush=True)
+            return 1
+
         from tools import convert_weights
 
         rc = convert_weights.main(["--weights", args.weights])
