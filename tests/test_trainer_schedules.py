@@ -21,9 +21,12 @@ def test_upsample_schedule_grows_grid(tmp_path):
     )
     train_cfg = trainer.TrainConfig(
         expname="u", basedir=str(tmp_path / "log"),
-        n_stage1=2, n_stage2=1, batch_size=256,
+        n_stage1=2, n_stage2=1, n_stage3=2, batch_size=256,
         n_voxel_init=12 ** 3, n_voxel_final=20 ** 3,
         upsamp_list=(4,), update_alphamask_list=(8,),
+        # integration of the stage-3 tail rebalance with the c2f schedule
+        # (unit coverage: test_stage3_balance.py)
+        stage3_balance="inverse_exposure", stage3_balance_gamma=2.0,
         app_k=8, eval_every_epochs=1000, seed=3,
         model=tf.TensoRFConfig(
             density_n_comp=(2, 2, 2), app_n_comp=(4, 4, 4), app_dim=6,

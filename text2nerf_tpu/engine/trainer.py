@@ -115,6 +115,19 @@ class TrainConfig:
     # content cannot grow in dead-masked voxels and quality collapses
     # (PERF.md round 3 A/B).
     train_compact_k: int = 64
+    # TPU-native extension (round 4): stage-3 tail rebalance.  Under the
+    # reference schedule the LAST-generated view is the quality outlier
+    # (16.7 dB at the full 50/50/10 schedule, PERF.md): every earlier
+    # view keeps receiving reconciliation epochs via the 4:1 replay rule
+    # (text2nerf_main.py:550-555) during all later views' stages, while
+    # the last view gets only its own n_stage2 + n_stage3 epochs.
+    # 'inverse_exposure' draws each stage-3 batch from ONE view's pool,
+    # the view chosen with probability ∝ (1 / expected per-ray exposure
+    # accumulated over stages 1-2)^gamma — equalizing total optimization
+    # pressure across views.  'uniform' is reference parity (one
+    # permutation over the merged pool, text2nerf_main.py:529-536).
+    stage3_balance: str = "uniform"
+    stage3_balance_gamma: float = 1.0
     seed: int = 1024
     model: tf.TensoRFConfig = dataclasses.field(default_factory=tf.TensoRFConfig)
     # TensoRF coarse-to-fine machinery (upsamp_list / update_AlphaMask_list,
@@ -162,6 +175,65 @@ def eval_boundary(
 
 def _epoch_iters(n_rays: int, batch: int) -> int:
     return n_rays // batch + int(n_rays % batch > 0)
+
+
+def stage3_view_weights(cfg: "TrainConfig", lengths, iters1: int) -> np.ndarray:
+    """Per-view stage-3 sampling weights ∝ (1 / expected exposure)^gamma.
+
+    Expected per-ray exposure (how many passes over each of a view's rays
+    the schedule delivers across stages 1-2) is analytic in the schedule
+    structure (text2nerf_main.py:481-555): view 0 gets the whole of stage
+    1; view u's own stage delivers the 4-in-5 new-batch share to its pool;
+    each stage u also delivers the 1-in-5 replay share spread uniformly
+    per-ray over views 0..u-1's concatenated pools.  Deterministic in the
+    config + pool sizes, so resume needs no extra state.
+    """
+    lengths = np.asarray(lengths, np.float64)
+    v_n = len(lengths)
+    b = float(cfg.batch_size)
+    expo = np.zeros(v_n)
+    if lengths[0] > 0:
+        expo[0] = cfg.n_stage1 * iters1 * b / lengths[0]
+    for u in range(1, v_n):
+        iters_u = _epoch_iters(int(lengths[u]), cfg.batch_size) + iters1
+        n_rep = (iters_u + 4) // 5  # it % 5 == 0 draws (the replay rule)
+        if lengths[u] > 0:
+            expo[u] += cfg.n_stage2 * (iters_u - n_rep) * b / lengths[u]
+        pre = lengths[:u].sum()
+        if pre > 0:
+            expo[:u] += cfg.n_stage2 * n_rep * b / pre
+    w = np.zeros(v_n)
+    ok = (expo > 0) & (lengths > 0)
+    w[ok] = (1.0 / expo[ok]) ** cfg.stage3_balance_gamma
+    if w.sum() <= 0:
+        w[lengths > 0] = 1.0
+    return w / w.sum()
+
+
+class _WeightedViewSampler:
+    """Stage-3 batch source for stage3_balance='inverse_exposure': each
+    batch comes from ONE view's update pool, the view drawn ∝ weights;
+    within a view, permutation sampling (SimpleSampler semantics)."""
+
+    def __init__(self, pools, weights, batch: int, seed: int):
+        self.pools = pools
+        self.weights = np.asarray(weights, np.float64)
+        self.batch = int(batch)
+        self.samplers = [
+            ts.PermutationSampler(len(p[0]), batch, seed + 31 * i)
+            if len(p[0]) >= batch else None
+            for i, p in enumerate(pools)
+        ]
+        self._rng = np.random.default_rng(seed)
+
+    def next_batch(self):
+        v = int(self._rng.choice(len(self.pools), p=self.weights))
+        if self.samplers[v] is not None:
+            ids = self.samplers[v].next_ids()
+        else:
+            # tiny pool (< batch, micro-size tests): draw with replacement
+            ids = self._rng.integers(0, len(self.pools[v][0]), self.batch)
+        return _batch_from_pool(self.pools[v], ids)
 
 
 def _resolve_group(cfg: "TrainConfig", aabb, reso, step_ratio):
@@ -506,7 +578,20 @@ def reconstruction(
         return mask
     pool_new = None
     sampler_new = None
+    sampler_s3 = None  # stage-3 weighted source (stage3_balance)
     n_iters_epoch = n_iters_epoch1
+
+    def build_stage3_sampler(n_views_done: int, seed: int):
+        if cfg.stage3_balance != "inverse_exposure":
+            return None
+        pools = [scene.updates["%05d" % v] for v in range(n_views_done)]
+        w = stage3_view_weights(
+            cfg, [len(p[0]) for p in pools], n_iters_epoch1
+        )
+        log.scalars(0, {"stage3_weight_view%d" % v: float(w[v])
+                        for v in range(len(w))})
+        return _WeightedViewSampler(pools, w, cfg.batch_size, seed)
+
     global_step = 0
     start_epoch = 0
     stage_step = 0  # optimizer steps since the last state/schedule reset
@@ -545,6 +630,9 @@ def reconstruction(
                 ]
                 pool_pre = tuple(np.concatenate(x, 0) for x in zip(*allp))
                 pool_new, sampler_new = None, None
+                sampler_s3 = build_stage3_sampler(
+                    view_idx + 1, cfg.seed + start_epoch + 7
+                )
                 n_iters_epoch = _epoch_iters(len(pool_pre[0]), cfg.batch_size)
                 decay_iters = n_iters_epoch * max(cfg.n_stage3, 1)
                 # a checkpoint written at the last stage-2 epoch resumes
@@ -704,6 +792,7 @@ def reconstruction(
                 len(pool_pre[0]), cfg.batch_size, cfg.seed + epoch
             )
             pool_new = None
+            sampler_s3 = build_stage3_sampler(n_views, cfg.seed + epoch + 7)
             n_iters_epoch = _epoch_iters(len(pool_pre[0]), cfg.batch_size)
             decay_iters = n_iters_epoch * max(cfg.n_stage3, 1)
             factor = ts.lr_factor(cfg.lr_decay_target_ratio, decay_iters)
@@ -802,8 +891,11 @@ def reconstruction(
                 or sampler_new is None
             )
             if use_replay:
-                ids = sampler_pre.next_ids()
-                batch = _batch_from_pool(pool_pre, ids)
+                if sampler_s3 is not None and epoch >= n_total:
+                    batch = sampler_s3.next_batch()
+                else:
+                    ids = sampler_pre.next_ids()
+                    batch = _batch_from_pool(pool_pre, ids)
             else:
                 ids = sampler_new.next_ids()
                 batch = _batch_from_pool(pool_new, ids)

@@ -35,6 +35,19 @@ def main(argv=None):
     p.add_argument("--hw", type=int, default=512)
     p.add_argument("--views", type=int, default=4)
     p.add_argument("--grid", type=int, default=300)
+    # coarse-to-fine (VERDICT r4 item 1): start the factor grids at
+    # --grid_init^3 and upsample toward --grid^3 at the --upsamp global
+    # steps (TensoRF's own recipe, reference machinery
+    # models/tensoRF.py:258-264 parsed-but-dead at e_opt.py:132-133).
+    # Milestones should complete within stage 1 so every expansion
+    # renders a full-resolution field.  0 disables (fixed grid).
+    p.add_argument("--grid_init", type=int, default=0)
+    p.add_argument("--upsamp", type=int, nargs="*",
+                   default=(1000, 1500, 2000, 2750, 3500))
+    # stage-3 tail rebalance (VERDICT r4 item 2): 'inverse_exposure'
+    # draws stage-3 batches per-view ∝ (1/expected exposure)^gamma
+    p.add_argument("--stage3_balance", default="uniform")
+    p.add_argument("--stage3_gamma", type=float, default=1.0)
     p.add_argument("--stages", type=int, nargs=3, default=(50, 50, 10))
     p.add_argument("--candidates", type=int, default=4)
     p.add_argument("--pose_traj", default="circle0_60")
@@ -60,11 +73,16 @@ def main(argv=None):
         prompt=args.prompt, pose_traj=args.pose_traj,
         num_training=args.views, hw=hw,
     )
+    c2f = bool(args.grid_init) and args.grid_init < args.grid
     train_cfg = trainer.TrainConfig(
         expname="fullsched", basedir=os.path.join(args.out, "log"),
         n_stage1=args.stages[0], n_stage2=args.stages[1],
         n_stage3=args.stages[2], batch_size=16384,
-        n_voxel_init=args.grid ** 3,
+        n_voxel_init=(args.grid_init if c2f else args.grid) ** 3,
+        n_voxel_final=args.grid ** 3,
+        upsamp_list=tuple(args.upsamp) if c2f else (),
+        stage3_balance=args.stage3_balance,
+        stage3_balance_gamma=args.stage3_gamma,
         eval_every_epochs=args.eval_every, seed=7,
         resume=True, resume_every_epochs=5, vis_support_views=False,
     )
@@ -121,6 +139,10 @@ def main(argv=None):
         "status": "ok",
         "schedule": list(args.stages),
         "hw": args.hw, "grid": args.grid, "views": args.views,
+        "grid_init": args.grid_init if c2f else args.grid,
+        "upsamp": list(args.upsamp) if c2f else [],
+        "stage3_balance": args.stage3_balance,
+        "stage3_gamma": args.stage3_gamma,
         "wall_min_this_attempt": round(wall_min, 2),
         "per_view_psnr": [round(float(x), 2) for x in res["psnr"]],
         "per_view_ssim": [round(s, 3) for s in ssims],
