@@ -1,0 +1,128 @@
+"""Adaptive compact-K eval (VERDICT r4 item 3): count_live_samples must
+match the compact renderer's live rule (K >= max count => zero
+truncation), and render_chunked_adaptive must (a) stay at the bottom
+rung on saturating fields — the acc-gate — and (b) escalate on
+semi-transparent fields until it matches the untruncated render, where a
+fixed small K visibly deviates.  Reference hot-loop semantics:
+/root/reference/models/tensorBase.py:436-507 (the reference renders every
+mask-live sample; compact-K is the TPU-native fixed-shape analog)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from text2nerf_tpu.data import trajectories as traj
+from text2nerf_tpu.models import tensorf as tf
+from text2nerf_tpu.ops import rays as R
+from text2nerf_tpu.ops import render as Rd
+
+AABB = jnp.array([[-8.0, -8.0, -8.0], [8.0, 8.0, 8.0]])
+HW = 48
+
+
+def _field(distance_scale, boost=1.0, seed=0):
+    cfg = tf.TensoRFConfig(
+        density_n_comp=(8, 8, 8), app_n_comp=(16, 16, 16),
+        distance_scale=distance_scale,
+    )
+    reso = tf.n_to_reso(HW ** 3, AABB)
+    params = tf.init_params(jax.random.PRNGKey(seed), cfg, reso)
+    # push density features past the -10 shift everywhere: a solid blob
+    # whose per-sample alpha is set by distance_scale (25 => opaque,
+    # 0.005 => fog that never saturates transmittance)
+    for k in ("density_planes", "density_lines"):
+        params[k] = jax.tree.map(lambda x: jnp.abs(x) + boost, params[k])
+    mask, _ = tf.update_alpha_mask(cfg, params, AABB, (32, 32, 32), pool=3)
+    n_s = int(tf.default_n_samples(reso, 1.0))
+    return cfg, params, mask, n_s
+
+
+def _rays():
+    intr = R.default_intrinsics(HW, HW)
+    dirs = R.ray_directions(HW, HW, intr[:2], intr[2:])
+    poses = traj.training_trajectory(
+        "local_fixed", 24, angle=0.2, trans_range=0.2
+    )
+    return R.rays_from_poses(dirs, jnp.asarray(poses))[0]
+
+
+def test_adaptive_k_buckets():
+    assert Rd.adaptive_compact_k(1) == Rd.ADAPTIVE_K_BUCKETS[0]
+    assert Rd.adaptive_compact_k(16) == 16
+    assert Rd.adaptive_compact_k(17) == 32
+    assert Rd.adaptive_compact_k(10_000) == Rd.ADAPTIVE_K_BUCKETS[-1]
+
+
+def test_count_live_matches_renderer_truncation_boundary():
+    cfg, params, mask, n_s = _field(0.01)
+    rays = _rays()
+    counts = np.asarray(Rd.count_live_samples(
+        cfg, params, AABB, rays, mask, n_samples=n_s, occ_stride=1
+    ))
+    k_cover = int(counts.max())
+    assert 0 < k_cover < n_s
+    full = Rd.render_rays_compact(
+        cfg, params, AABB, rays, mask, n_samples=n_s, compact_k=n_s,
+        app_k=16, white_bg=True,
+    )
+    cover = Rd.render_rays_compact(
+        cfg, params, AABB, rays, mask, n_samples=n_s, compact_k=k_cover,
+        app_k=16, white_bg=True,
+    )
+    # K >= max live count => zero truncation => identical radiance
+    np.testing.assert_allclose(
+        np.asarray(cover.rgb), np.asarray(full.rgb), atol=1e-6
+    )
+    # flagged variant agrees: no overflowing-unsaturated ray at k_cover
+    _, bad = Rd.render_rays_compact_flagged(
+        cfg, params, AABB, rays, mask, n_samples=n_s, compact_k=k_cover,
+        app_k=16,
+    )
+    assert int(bad) == 0
+
+
+def test_acc_gate_keeps_opaque_fields_at_bottom_rung():
+    cfg, params, mask, n_s = _field(25.0)  # production distance_scale
+    rays = _rays()
+    counts = np.asarray(Rd.count_live_samples(
+        cfg, params, AABB, rays, mask, n_samples=n_s, occ_stride=1
+    ))
+    assert counts.max() > 8  # truncation at K=8 is real...
+    out, ks = Rd.render_chunked_adaptive(
+        cfg, params, AABB, rays, mask, n_samples=n_s, chunk=512,
+        app_k=16, k_ladder=(8, 16, 32),
+    )
+    assert set(ks) == {8}  # ...but transmittance saturates: no escalation
+    full = Rd.render_rays_compact(
+        cfg, params, AABB, rays, mask, n_samples=n_s, compact_k=n_s,
+        app_k=16, white_bg=True,
+    )
+    assert np.abs(np.asarray(out.rgb) - np.asarray(full.rgb)).max() < 1e-3
+
+
+@pytest.mark.parametrize("ds", [0.005, 0.02])
+def test_transparent_fields_escalate_to_accuracy(ds):
+    cfg, params, mask, n_s = _field(ds)
+    rays = _rays()
+    full = Rd.render_rays_compact(
+        cfg, params, AABB, rays, mask, n_samples=n_s, compact_k=n_s,
+        app_k=16, white_bg=True,
+    )
+    k8 = Rd.render_rays_compact(
+        cfg, params, AABB, rays, mask, n_samples=n_s, compact_k=8,
+        app_k=8, white_bg=True,
+    )
+    dev8 = np.abs(np.asarray(k8.rgb) - np.asarray(full.rgb)).max()
+    assert dev8 > 0.05  # fixed small K visibly truncates this field
+    out, ks = Rd.render_chunked_adaptive(
+        cfg, params, AABB, rays, mask, n_samples=n_s, chunk=512,
+        app_k=16, k_ladder=(8, 16, 32),
+    )
+    assert max(ks) > 8  # the flag fired and the ladder escalated
+    dev = np.abs(np.asarray(out.rgb) - np.asarray(full.rgb)).max()
+    assert dev < 1e-4, (dev, dev8)
+    # shapes survive mixed-K concatenation (escalated chunks are wider)
+    assert out.rgb.shape == (rays.shape[0], 3)
+    assert out.weights.shape[0] == rays.shape[0]
+    assert np.isfinite(np.asarray(out.depth)).all()

@@ -325,6 +325,62 @@ def _nearest_alpha_lookup(alpha_mask, pts):
     return jnp.take(flat, (iz * h + iy) * w + ix)
 
 
+#: compact_k buckets an adaptive eval picks from — a small static set so
+#: at most len(buckets) jit specializations of the render exist per config
+ADAPTIVE_K_BUCKETS = (16, 32, 48, 64, 96, 128)
+
+
+def adaptive_compact_k(max_live: int, buckets=ADAPTIVE_K_BUCKETS) -> int:
+    """Smallest bucket covering ``max_live`` mask-live samples (the largest
+    bucket when none does — the existing tail-truncation semantics then
+    apply, see render_rays_compact)."""
+    for b in buckets:
+        if b >= max_live:
+            return b
+    return buckets[-1]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_samples", "occ_stride",
+                                             "eval_z_min"))
+def _count_live_samples(cfg, params, aabb, rays, alpha_mask, *, n_samples,
+                        occ_stride, eval_z_min):
+    aabb = jnp.asarray(aabb)
+    rays_o, rays_d = rays[:, :3], rays[:, 3:6]
+    b = rays.shape[0]
+    step = tf.step_size(aabb, tf.grid_resolution(cfg, params), cfg.step_ratio)
+    t_min = aabb_slab_entry(rays_o, rays_d, aabb, cfg.near, cfg.far)
+    steps = jnp.arange(n_samples, dtype=rays.dtype)[None, :]
+    z_vals = t_min[:, None] + step * steps
+    pts = rays_o[:, None] + rays_d[:, None] * z_vals[..., None]
+    valid = jnp.all((pts >= aabb[0]) & (pts <= aabb[1]), axis=-1)
+    valid = valid & (pts[..., 2] > eval_z_min)
+    if occ_stride == 1:
+        occ = _nearest_alpha_lookup(alpha_mask, pts.reshape(-1, 3)).reshape(
+            b, n_samples
+        )
+    else:
+        n_t = (n_samples + occ_stride - 1) // occ_stride
+        occ_t = _nearest_alpha_lookup(
+            alpha_mask, pts[:, ::occ_stride].reshape(-1, 3)
+        ).reshape(b, n_t)
+        occ = jnp.repeat(occ_t, occ_stride, axis=1)[:, :n_samples]
+    return jnp.sum((valid & (occ > 0)).astype(jnp.int32), axis=-1)
+
+
+def count_live_samples(cfg, params, aabb, rays, alpha_mask, *, n_samples,
+                       occ_stride, eval_z_min: float = 2.0):
+    """Per-ray count of mask-live samples under EXACTLY the live rule
+    _render_rays_compact selects with (same z-cull, same strided occupancy
+    broadcast) — so ``compact_k >= counts.max()`` renders every live
+    sample with zero tail truncation.  One occupancy row per tested sample;
+    no feature gathers — the cheap pre-pass an adaptive-K eval runs once
+    per view (see adaptive_compact_k / render_view_adaptive)."""
+    return _count_live_samples(
+        cfg, params, aabb, rays, _strip_pool(alpha_mask),
+        n_samples=n_samples, occ_stride=occ_stride, eval_z_min=eval_z_min,
+    )
+
+
 def render_rays_compact(
     cfg: tf.TensoRFConfig,
     params,
@@ -376,11 +432,36 @@ def render_rays_compact(
     )
 
 
+def render_rays_compact_flagged(
+    cfg, params, aabb, rays, alpha_mask, *, n_samples, compact_k,
+    app_k, white_bg=True, eval_z_min=2.0, feature_dtype="bf16",
+    acc_tol=1e-3,
+):
+    """render_rays_compact + an escalation flag: the count of rays whose
+    mask-live samples OVERFLOW ``compact_k`` while their transmittance has
+    NOT saturated (acc < 1 - acc_tol) — exactly the rays whose truncated
+    tail could still contribute color.  Rays that saturate early (opaque
+    surface hit) and rays with few live samples (background) never flag,
+    so the count is the per-chunk 'does K need to grow' signal the
+    adaptive ladder reads (render_chunked_adaptive)."""
+    occ_stride = max(1, (int(alpha_mask.get("pool", 3)) - 1) // 2)
+    if occ_stride > 1 and not occupancy_stride_safe(
+        cfg, params, aabb, alpha_mask, occ_stride
+    ):
+        occ_stride = 1
+    return _render_rays_compact(
+        cfg, params, aabb, rays, _strip_pool(alpha_mask),
+        n_samples=n_samples, compact_k=compact_k, app_k=app_k,
+        white_bg=white_bg, eval_z_min=eval_z_min, occ_stride=occ_stride,
+        feature_dtype=feature_dtype, overflow_tol=float(acc_tol),
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "cfg", "n_samples", "compact_k", "app_k", "white_bg", "eval_z_min",
-        "occ_stride", "feature_dtype",
+        "occ_stride", "feature_dtype", "overflow_tol",
     ),
 )
 def _render_rays_compact(
@@ -397,6 +478,7 @@ def _render_rays_compact(
     eval_z_min: float,
     occ_stride: int,
     feature_dtype: str,
+    overflow_tol: Optional[float] = None,
 ) -> RenderOutput:
     fdt = jnp.bfloat16 if feature_dtype == "bf16" else None
     aabb = jnp.asarray(aabb)
@@ -425,6 +507,7 @@ def _render_rays_compact(
         ).reshape(b, n_t)
         occ = jnp.repeat(occ_t, occ_stride, axis=1)[:, :n_samples]
     live = valid & (occ > 0)
+    n_live = jnp.sum(live.astype(jnp.int32), axis=-1)
 
     # first-K live samples per ray, in ray order
     order_key = jnp.where(live, steps.astype(jnp.int32), n_samples)
@@ -481,7 +564,17 @@ def _render_rays_compact(
         rgb = rgb + (1.0 - acc[..., None])
     rgb = jnp.clip(rgb, 0.0, 1.0)
     depth = jnp.sum(weights * z_k, axis=-1) + (1.0 - acc) * rays[:, -1]
-    return RenderOutput(rgb=rgb, depth=depth, z_vals=z_k, weights=weights, acc=acc)
+    out = RenderOutput(rgb=rgb, depth=depth, z_vals=z_k, weights=weights,
+                       acc=acc)
+    if overflow_tol is not None:
+        # rays whose truncated tail could still matter: more live samples
+        # than K AND unsaturated transmittance (see
+        # render_rays_compact_flagged)
+        bad = jnp.sum(
+            ((n_live > k) & (acc < 1.0 - overflow_tol)).astype(jnp.int32)
+        )
+        return out, bad
+    return out
 
 
 def render_rays_train_compact(
@@ -678,6 +771,114 @@ def _render_rays_train_compact(
     rgb = jnp.clip(rgb, 0.0, 1.0)
     depth = jnp.sum(weights * z_k, axis=-1) + (1.0 - acc) * rays[:, -1]
     return RenderOutput(rgb=rgb, depth=depth, z_vals=z_k, weights=weights, acc=acc)
+
+
+#: default K ladder for adaptive compacted eval — render every chunk at
+#: the first rung, escalate only flagged chunks (acc-gated, see
+#: render_rays_compact_flagged).  Rungs are the measured cost curve's
+#: sweet spots (PERF.md round 4: ms/chunk ≈ linear in K).
+ADAPTIVE_EVAL_LADDER = (32, 64, 128)
+
+
+def render_chunked_adaptive(
+    cfg,
+    params,
+    aabb,
+    rays,
+    alpha_mask,
+    *,
+    n_samples: int,
+    chunk: int = 16384,
+    app_k: int = 64,
+    white_bg: bool = True,
+    k_ladder=ADAPTIVE_EVAL_LADDER,
+    acc_tol: float = 1e-3,
+    feature_dtype: str = "bf16",
+):
+    """Chunked eval renderer with per-chunk adaptive compact-K.
+
+    Every chunk renders at the smallest ladder rung; a chunk escalates to
+    the next rung only when some ray both OVERFLOWS the rung's K (more
+    mask-live samples than K) and has unsaturated transmittance
+    (acc < 1 - acc_tol) — i.e. its truncated tail could still contribute
+    (render_rays_compact_flagged).  Opaque-surface rays saturate within
+    the first rung and background rays never overflow, so trained scenes
+    render mostly at the bottom rung (the round-4 profile: fixed K=64 was
+    paying for tail samples that contribute nothing).  The flag check
+    syncs ONCE per rung over all chunks (not per chunk), so tunnel
+    latency is paid ≤ len(k_ladder)-1 times per call.  The top rung runs
+    unflagged — its truncation semantics equal render_rays_compact at
+    k_ladder[-1] (≥ the fixed-K default, so never less accurate).
+
+    Returns (RenderOutput, per-chunk K list).
+    """
+    n = rays.shape[0]
+    parts, ks = [], []
+    for s in range(0, n, chunk):
+        part = rays[s : s + chunk]
+        pad = chunk - part.shape[0]
+        if pad:
+            part = jnp.concatenate([part, jnp.zeros((pad, 6), part.dtype)], 0)
+        parts.append((part, pad))
+
+    k0 = k_ladder[0]
+    outs, flags = [], []
+    for part, _ in parts:
+        out, bad = render_rays_compact_flagged(
+            cfg, params, aabb, part, alpha_mask, n_samples=n_samples,
+            compact_k=k0, app_k=min(app_k, k0), white_bg=white_bg,
+            acc_tol=acc_tol, feature_dtype=feature_dtype,
+        )
+        outs.append(out)
+        flags.append(bad)
+    ks = [k0] * len(parts)
+    import numpy as np
+
+    for rung, k in enumerate(k_ladder[1:], start=1):
+        pend = [i for i, f in enumerate(flags) if f is not None]
+        if not pend:
+            break
+        # ONE host sync for every still-flagged chunk at this rung
+        bad = np.asarray(jnp.stack([flags[i] for i in pend]))
+        for j, i in enumerate(pend):
+            flags[i] = None
+            if bad[j] == 0:
+                continue
+            ks[i] = k
+            last = rung == len(k_ladder) - 1
+            if last:
+                outs[i] = render_rays_compact(
+                    cfg, params, aabb, parts[i][0], alpha_mask,
+                    n_samples=n_samples, compact_k=k, app_k=min(app_k, k),
+                    white_bg=white_bg, feature_dtype=feature_dtype,
+                )
+            else:
+                outs[i], flags[i] = render_rays_compact_flagged(
+                    cfg, params, aabb, parts[i][0], alpha_mask,
+                    n_samples=n_samples, compact_k=k, app_k=min(app_k, k),
+                    white_bg=white_bg, acc_tol=acc_tol,
+                    feature_dtype=feature_dtype,
+                )
+
+    # chunks that escalated carry wider (B, K) z_vals/weights — pad the
+    # narrower ones with zero weight (contributes nothing) so the
+    # concatenated output has one sample width
+    k_max = max(ks)
+    trimmed = []
+    for out, (_, pad) in zip(outs, parts):
+        kw = out.weights.shape[1]
+        if kw < k_max:
+            zpad = jnp.zeros((out.weights.shape[0], k_max - kw),
+                             out.weights.dtype)
+            out = out._replace(
+                z_vals=jnp.concatenate([out.z_vals, zpad], 1),
+                weights=jnp.concatenate([out.weights, zpad], 1),
+            )
+        if pad:
+            out = jax.tree.map(lambda x: x[: chunk - pad], out)
+        trimmed.append(out)
+    merged = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *trimmed)
+    return merged, ks
 
 
 def render_chunked(
