@@ -47,6 +47,34 @@ def _rays():
     return R.rays_from_poses(dirs, jnp.asarray(poses))[0]
 
 
+def test_first_k_live_impls_agree():
+    # the three lowerings (bitonic sort / partial top_k / rank block-scan)
+    # must be element-identical on arbitrary live masks, including rows
+    # with zero and with > k live entries
+    rng = np.random.default_rng(7)
+    for n, k in ((259, 64), (41, 8), (130, 33), (16, 16)):
+        live = jnp.asarray(rng.random((64, n)) < 0.3)
+        live = live.at[0].set(False)   # empty row
+        live = live.at[1].set(True)    # full row (> k live)
+        ref_idx, ref_sel = Rd.first_k_live(live, k, impl="sort")
+        for impl in ("topk", "rank"):
+            idx, sel = Rd.first_k_live(live, k, impl=impl)
+            np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx),
+                                          err_msg=f"{impl} n={n} k={k}")
+            np.testing.assert_array_equal(np.asarray(sel), np.asarray(ref_sel))
+        # brute-force oracle on a few rows
+        lv = np.asarray(live)
+        for r in (0, 1, 2, 3):
+            want = np.flatnonzero(lv[r])[:k]
+            got = np.asarray(ref_idx[r])[np.asarray(ref_sel[r])]
+            np.testing.assert_array_equal(got, want)
+
+
+def test_select_impl_rejects_unknown():
+    with pytest.raises(ValueError):
+        Rd._resolve_select_impl("nativ")
+
+
 def test_adaptive_k_buckets():
     assert Rd.adaptive_compact_k(1) == Rd.ADAPTIVE_K_BUCKETS[0]
     assert Rd.adaptive_compact_k(16) == 16

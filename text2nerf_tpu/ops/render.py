@@ -325,6 +325,53 @@ def _nearest_alpha_lookup(alpha_mask, pts):
     return jnp.take(flat, (iz * h + iy) * w + ix)
 
 
+def first_k_live(live, k: int, impl: str = "sort"):
+    """Per-row indices of the first ``k`` True entries of ``live`` (B, N),
+    ascending, padded with N where a row has fewer; plus the pad mask.
+
+    Three equivalent lowerings (semantics identical, TPU cost is not —
+    the full bitonic sort pays O(N log^2 N) compare-swap passes through
+    HBM for what is a streaming compaction):
+
+    - ``sort``: sort the live-index key, take the first k columns.
+    - ``topk``: ``lax.top_k`` on the negated key — a partial sort.
+    - ``rank``: live-rank (exclusive cumsum) names each live sample's
+      output slot; a block scan streams N in slabs, min-reducing each
+      slab's slot hits into a (B, k) carry — one pass over N, no sort.
+    """
+    b, n = live.shape
+    if impl in ("sort", "topk"):
+        steps = jnp.arange(n, dtype=jnp.int32)[None, :]
+        order_key = jnp.where(live, steps, n)
+        if impl == "sort":
+            idx = jnp.sort(order_key, axis=-1)[:, :k]
+        else:
+            idx = -jax.lax.top_k(-order_key, k)[0]
+    elif impl == "rank":
+        rank = jnp.cumsum(live.astype(jnp.int32), axis=-1) - 1
+        tgt = jnp.where(live & (rank < k), rank, k)  # k = discard slot
+        blk = 16
+        n_pad = n + ((-n) % blk)
+        tgt = jnp.pad(tgt, ((0, 0), (0, n_pad - n)), constant_values=k)
+        slots = jnp.arange(k, dtype=jnp.int32)
+        base = jnp.arange(n_pad, dtype=jnp.int32).reshape(-1, blk)
+
+        def body(acc, xs):
+            tgt_b, j_b = xs  # (B, blk), (blk,)
+            hit = tgt_b[..., None] == slots  # (B, blk, k) — fused
+            cand = jnp.min(jnp.where(hit, j_b[None, :, None], n), axis=1)
+            return jnp.minimum(acc, cand), None
+
+        init = jnp.full((b, k), n, jnp.int32)
+        idx, _ = jax.lax.scan(
+            body, init, (tgt.reshape(b, -1, blk).swapaxes(0, 1), base)
+        )
+    else:
+        raise ValueError(f"unknown first_k_live impl: {impl!r}")
+    sel = idx < n
+    return jnp.minimum(idx, n - 1), sel
+
+
 #: compact_k buckets an adaptive eval picks from — a small static set so
 #: at most len(buckets) jit specializations of the render exist per config
 ADAPTIVE_K_BUCKETS = (16, 32, 48, 64, 96, 128)
@@ -394,6 +441,7 @@ def render_rays_compact(
     white_bg: bool = True,
     eval_z_min: float = 2.0,
     feature_dtype: str = "bf16",
+    select_impl: Optional[str] = None,
 ) -> RenderOutput:
     """Eval renderer with alpha-mask sample compaction.
 
@@ -429,13 +477,31 @@ def render_rays_compact(
         n_samples=n_samples, compact_k=compact_k, app_k=app_k,
         white_bg=white_bg, eval_z_min=eval_z_min, occ_stride=occ_stride,
         feature_dtype=feature_dtype,
+        select_impl=_resolve_select_impl(select_impl),
     )
+
+
+_SELECT_IMPLS = ("sort", "topk", "rank")
+
+
+def _resolve_select_impl(impl: Optional[str]) -> str:
+    """Explicit arg > TEXT2NERF_SELECT_IMPL env > 'sort'.  Rejects unknown
+    values loudly (a typo must not silently fall back)."""
+    import os
+
+    if impl is None:
+        impl = os.environ.get("TEXT2NERF_SELECT_IMPL", "") or "sort"
+    if impl not in _SELECT_IMPLS:
+        raise ValueError(
+            f"select_impl must be one of {_SELECT_IMPLS}, got {impl!r}"
+        )
+    return impl
 
 
 def render_rays_compact_flagged(
     cfg, params, aabb, rays, alpha_mask, *, n_samples, compact_k,
     app_k, white_bg=True, eval_z_min=2.0, feature_dtype="bf16",
-    acc_tol=1e-3,
+    acc_tol=1e-3, select_impl=None,
 ):
     """render_rays_compact + an escalation flag: the count of rays whose
     mask-live samples OVERFLOW ``compact_k`` while their transmittance has
@@ -454,6 +520,7 @@ def render_rays_compact_flagged(
         n_samples=n_samples, compact_k=compact_k, app_k=app_k,
         white_bg=white_bg, eval_z_min=eval_z_min, occ_stride=occ_stride,
         feature_dtype=feature_dtype, overflow_tol=float(acc_tol),
+        select_impl=_resolve_select_impl(select_impl),
     )
 
 
@@ -461,7 +528,7 @@ def render_rays_compact_flagged(
     jax.jit,
     static_argnames=(
         "cfg", "n_samples", "compact_k", "app_k", "white_bg", "eval_z_min",
-        "occ_stride", "feature_dtype", "overflow_tol",
+        "occ_stride", "feature_dtype", "overflow_tol", "select_impl",
     ),
 )
 def _render_rays_compact(
@@ -479,6 +546,7 @@ def _render_rays_compact(
     occ_stride: int,
     feature_dtype: str,
     overflow_tol: Optional[float] = None,
+    select_impl: str = "sort",
 ) -> RenderOutput:
     fdt = jnp.bfloat16 if feature_dtype == "bf16" else None
     aabb = jnp.asarray(aabb)
@@ -500,24 +568,31 @@ def _render_rays_compact(
         # every occ_stride-th sample is tested; the mask's dilation covers
         # the in-between samples, so broadcasting the tested value to its
         # group never drops a live sample (it may add dead ones, which
-        # contribute sigma and get culled by k_live weighting anyway)
+        # contribute sigma and get culled by k_live weighting anyway).
+        # Tested points are recomputed at the strided positions (identical
+        # float path to pts) so the full (B, N, 3) pts never materializes.
         n_t = (n_samples + occ_stride - 1) // occ_stride
+        pts_t = rays_o[:, None] + rays_d[:, None] * z_vals[
+            :, ::occ_stride, None
+        ]
         occ_t = _nearest_alpha_lookup(
-            alpha_mask, pts[:, ::occ_stride].reshape(-1, 3)
+            alpha_mask, pts_t.reshape(-1, 3)
         ).reshape(b, n_t)
         occ = jnp.repeat(occ_t, occ_stride, axis=1)[:, :n_samples]
     live = valid & (occ > 0)
     n_live = jnp.sum(live.astype(jnp.int32), axis=-1)
 
     # first-K live samples per ray, in ray order
-    order_key = jnp.where(live, steps.astype(jnp.int32), n_samples)
     k = min(compact_k, n_samples)
-    idx = jnp.sort(order_key, axis=-1)[:, :k]
-    k_live = idx < n_samples
-    idx = jnp.minimum(idx, n_samples - 1)
+    idx, k_live = first_k_live(live, k, impl=select_impl)
 
-    z_k = jnp.take_along_axis(z_vals, idx, axis=1)
-    pts_k = jnp.take_along_axis(pts, idx[..., None], axis=1)
+    # z/pts at the selected samples are RECOMPUTED from idx with the
+    # exact expression that built z_vals/pts (bit-identical float path) —
+    # a take_along_axis here would force the (B, N, 3) pts tensor to
+    # materialize in HBM solely to be gathered back, where recomputation
+    # lets XLA fuse pts into its elementwise consumers above
+    z_k = t_min[:, None] + step * idx.astype(rays.dtype)
+    pts_k = rays_o[:, None] + rays_d[:, None] * z_k[..., None]
     xn_k = jnp.clip(tf.normalize_coord(aabb, pts_k), -1.0, 1.0)
 
     # app_k >= k shades every compacted sample → the channel-fused tables
@@ -592,6 +667,7 @@ def render_rays_train_compact(
     density_group: int = 1,
     density_block: int = 4,
     feature_dtype: str = "fp32",
+    select_impl: Optional[str] = None,
 ) -> RenderOutput:
     """TRAIN-path alpha-mask sample compaction (round-3 perf lever).
 
@@ -631,6 +707,7 @@ def render_rays_train_compact(
         n_samples=n_samples, compact_k=compact_k, app_k=app_k,
         white_bg=white_bg, density_group=g, density_block=density_block,
         occ_stride=occ_stride, feature_dtype=feature_dtype,
+        select_impl=_resolve_select_impl(select_impl),
     )
 
 
@@ -639,6 +716,7 @@ def render_rays_train_compact(
     static_argnames=(
         "cfg", "n_samples", "compact_k", "app_k", "white_bg",
         "density_group", "density_block", "occ_stride", "feature_dtype",
+        "select_impl",
     ),
 )
 def _render_rays_train_compact(
@@ -657,6 +735,7 @@ def _render_rays_train_compact(
     density_block: int,
     occ_stride: int,
     feature_dtype: str,
+    select_impl: str = "sort",
 ) -> RenderOutput:
     fdt = jnp.bfloat16 if feature_dtype == "bf16" else None
     g = density_group
@@ -669,9 +748,9 @@ def _render_rays_train_compact(
     s_pad = n_samples + ((-n_samples) % g)
     step = tf.step_size(aabb, tf.grid_resolution(cfg, params), cfg.step_ratio)
     t_min = aabb_slab_entry(rays_o, rays_d, aabb, cfg.near, cfg.far)
-    steps = jnp.arange(s_pad, dtype=rays.dtype)[None, :]
     rng, k_jit = jax.random.split(rng)
-    steps = steps + jax.random.uniform(k_jit, (b, 1))
+    jit_u = jax.random.uniform(k_jit, (b, 1))
+    steps = jnp.arange(s_pad, dtype=rays.dtype)[None, :] + jit_u
     z_vals = t_min[:, None] + step * steps
     pts = rays_o[:, None] + rays_d[:, None] * z_vals[..., None]
 
@@ -680,10 +759,13 @@ def _render_rays_train_compact(
     valid = valid & (steps < n_samples)
 
     # occupancy, tested every occ_stride-th sample and broadcast (the
-    # mask's pool dilation covers the untested neighbors)
+    # mask's pool dilation covers the untested neighbors); tested points
+    # recomputed at the strided positions — same float path as pts, so
+    # the (B, N, 3) pts tensor stays fused into its elementwise consumers
     n_t = (s_pad + occ_stride - 1) // occ_stride
+    pts_t = rays_o[:, None] + rays_d[:, None] * z_vals[:, ::occ_stride, None]
     occ_t = _nearest_alpha_lookup(
-        alpha_mask, pts[:, ::occ_stride].reshape(-1, 3)
+        alpha_mask, pts_t.reshape(-1, 3)
     ).reshape(b, n_t)
     occ = jnp.repeat(occ_t, occ_stride, axis=1)[:, :s_pad]
     live = valid & (occ > 0)
@@ -695,18 +777,20 @@ def _render_rays_train_compact(
     else:
         live_g = live
     # first-Kg live groups per ray, in ray order
-    gidx_range = jnp.arange(n_groups, dtype=jnp.int32)[None, :]
-    order_key = jnp.where(live_g, gidx_range, n_groups)
-    gidx = jnp.sort(order_key, axis=-1)[:, :kg]
-    g_live = gidx < n_groups
-    gidx = jnp.minimum(gidx, n_groups - 1)
+    gidx, g_live = first_k_live(live_g, kg, impl=select_impl)
 
-    # member sample indices of the selected groups: (B, Kg*g)
+    # member sample indices of the selected groups: (B, Kg*g); z/pts at
+    # the selected samples are RECOMPUTED from midx with the exact float
+    # path that built z_vals/pts (take_along_axis would force pts to
+    # materialize in HBM solely to be gathered back)
     midx = (gidx[..., None] * g + jnp.arange(g, dtype=jnp.int32)).reshape(b, kg * g)
-    z_k = jnp.take_along_axis(z_vals, midx, axis=1)
-    pts_k = jnp.take_along_axis(pts, midx[..., None], axis=1)
-    valid_k = jnp.take_along_axis(valid, midx, axis=1) & jnp.repeat(
-        g_live, g, axis=1
+    steps_k = midx.astype(rays.dtype) + jit_u
+    z_k = t_min[:, None] + step * steps_k
+    pts_k = rays_o[:, None] + rays_d[:, None] * z_k[..., None]
+    valid_k = (
+        jnp.all((pts_k >= aabb[0]) & (pts_k <= aabb[1]), axis=-1)
+        & (steps_k < n_samples)
+        & jnp.repeat(g_live, g, axis=1)
     )
     xn_k = jnp.clip(tf.normalize_coord(aabb, pts_k), -1.0, 1.0)
 
