@@ -129,6 +129,24 @@ def test_acc_gate_keeps_opaque_fields_at_bottom_rung():
     assert np.abs(np.asarray(out.rgb) - np.asarray(full.rgb)).max() < 1e-3
 
 
+def test_render_chunked_minus_one_routes_adaptive():
+    # compact_k=-1 (TrainConfig.eval_compact_k=-1) is the adaptive ladder
+    # through the shipping chunked entry point — matches the untruncated
+    # compact render on a field where a small fixed K would deviate
+    cfg, params, mask, n_s = _field(0.01)
+    rays = _rays()
+    out = Rd.render_chunked(
+        cfg, params, AABB, rays, n_samples=n_s, chunk=512, app_k=16,
+        alpha_mask=mask, compact_k=-1,
+    )
+    full = Rd.render_rays_compact(
+        cfg, params, AABB, rays, mask, n_samples=n_s, compact_k=n_s,
+        app_k=16, white_bg=True,
+    )
+    assert np.abs(np.asarray(out.rgb) - np.asarray(full.rgb)).max() < 1e-3
+    assert out.rgb.shape == (rays.shape[0], 3)
+
+
 @pytest.mark.parametrize("ds", [0.005, 0.02])
 def test_transparent_fields_escalate_to_accuracy(ds):
     cfg, params, mask, n_s = _field(ds)

@@ -78,7 +78,9 @@ class TrainConfig:
     # eval-render compaction: rebuild the alpha-grid mask at each stage
     # boundary after stage 1 and route evaluation / expansion renders
     # through render_rays_compact (tensorBase.py:451-456 culling semantics;
-    # 0 disables)
+    # 0 disables; -1 selects the acc-gated adaptive-K ladder, which
+    # escalates K per chunk until no unsaturated ray overflows — never
+    # less accurate than the fixed top rung, render.render_chunked)
     eval_compact_k: int = 64
     # eval-mask dilation: pool=5 licenses stride-2 occupancy testing
     # (the default); pool=7 licenses stride-3 (+5.5% rays/s on the bench
@@ -536,11 +538,11 @@ def reconstruction(
 
     def render_mask():
         """Mask for eval/expansion RENDERS: only when eval compaction is
-        opted in.  With eval_compact_k<=0 the mask may still exist (train
+        opted in.  With eval_compact_k==0 the mask may still exist (train
         compaction builds it) but must not alter metric renders — dense
         eval is the reference's shipped-config behavior
         (update_AlphaMask_list=[], so its tensorf.alphaMask stays None)."""
-        return eval_mask if cfg.eval_compact_k > 0 else None
+        return eval_mask if cfg.eval_compact_k != 0 else None
 
     # runtime_decay: the LR schedule lives in a per-step scalar (lr_decay,
     # tracked like tv_decay) instead of a compiled constant — ONE train-step
@@ -567,7 +569,7 @@ def reconstruction(
         # train compaction shares this mask: train_compact_k alone must
         # still build it (eval call sites pass compact_k=eval_compact_k,
         # so eval stays dense-with-mask-culling when only train opts in)
-        if (cfg.eval_compact_k <= 0 and cfg.train_compact_k <= 0) or cfg.ndc_ray:
+        if (cfg.eval_compact_k == 0 and cfg.train_compact_k <= 0) or cfg.ndc_ray:
             return None
         reso_now = tf.grid_resolution(mcfg, state.params)
         mask_reso = tuple(min(r, 200) for r in reso_now)
@@ -710,7 +712,7 @@ def reconstruction(
                 )
             step_fn = make_step(tx)
             if start_epoch >= cfg.n_stage1 and (
-                cfg.train_compact_k > 0 or cfg.eval_compact_k > 0
+                cfg.train_compact_k > 0 or cfg.eval_compact_k != 0
             ):
                 # stage-2/3 mid-stage resume: rebuild the mask from the
                 # restored field so the resumed epochs keep the compacted

@@ -985,8 +985,18 @@ def render_chunked(
     Pads the final chunk so only one jit specialization exists per chunk
     size (the reference loops un-jitted chunks, renderer.py:28-42).
     With ``compact_k > 0`` and an alpha mask, uses the compacted
-    fast path (render_rays_compact).
+    fast path (render_rays_compact); ``compact_k = -1`` selects the
+    acc-gated adaptive-K ladder (render_chunked_adaptive) — never less
+    accurate than the top rung, and trained/opaque scenes render mostly
+    at the bottom one.
     """
+    if compact_k == -1 and alpha_mask is not None and not ndc:
+        out, _ = render_chunked_adaptive(
+            cfg, params, aabb, rays, alpha_mask, n_samples=n_samples,
+            chunk=chunk, app_k=app_k, white_bg=white_bg,
+            feature_dtype=feature_dtype,
+        )
+        return out
     n = rays.shape[0]
     outs = []
     for s in range(0, n, chunk):
