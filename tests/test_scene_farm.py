@@ -233,6 +233,23 @@ def test_run_farm_parallel_eight_scenes(tmp_path):
             any(k.startswith("phase/expand_view") for k in p)
             for p in phases
         ), f"no expansion phase timing in {mpath}"
+        # device-idle accounting (VERDICT r4 item 8): every scene reports
+        # its host-side phase seconds + start/end stamps so a real-v5e-8
+        # run can measure the serial residue (overlap = sum(wall)/span)
+        assert res["device_idle_s"] >= 0
+        assert res["phase_s"].get("bootstrap", 0) > 0
+        assert res["t_end"] > res["t_start"]
+    span = max(r["t_end"] for r in results) - min(
+        r["t_start"] for r in results
+    )
+    overlap = sum(r["wall_s"] for r in results) / span
+    idle_share = sum(r["device_idle_s"] for r in results) / sum(
+        r["wall_s"] for r in results
+    )
+    # 1-core CI can't show 8x overlap — just record the two quantities a
+    # real run compares (printed into the test log for the baseline)
+    print(f"farm overlap={overlap:.2f}x device_idle_share={idle_share:.3f}")
+    assert 0.0 <= idle_share <= 1.0
     # second pass is served from completion markers (idempotent)
     r2 = farm.run_farm_parallel(
         prompts, str(tmp_path / "d"), str(tmp_path / "l"), run,
