@@ -47,6 +47,11 @@ def main(argv=None):
     p.add_argument("--chunk", type=int, default=16384)
     p.add_argument("--ks", type=int, nargs="*",
                    default=(16, 32, 48, 64, 96, 128))
+    p.add_argument("--selects", nargs="*", default=(),
+                   help="first_k_live lowerings to sweep at each K "
+                        "(e.g. sort topk rank); empty = default only")
+    p.add_argument("--skip_counts", action="store_true",
+                   help="skip the live-distribution / count-pass section")
     p.add_argument("--report", default="")
     args = p.parse_args(argv)
 
@@ -103,54 +108,57 @@ def main(argv=None):
     report = {"mask_occupancy": round(occupancy, 4), "chunk": args.chunk,
               "n_samples": int(n_samples)}
 
-    # --- live-count distribution (what adaptive K would pick) -----------
     occ_stride = max(1, (int(alpha_mask.get("pool", 3)) - 1) // 2)
     if occ_stride > 1 and not Rd.occupancy_stride_safe(
         mcfg, params, aabb, alpha_mask, occ_stride
     ):
         occ_stride = 1
-    per_view = []
-    for v in views:
-        counts = []
-        for s in range(0, v.shape[0], args.chunk):
-            c = jnp.asarray(v[s : s + args.chunk])
-            counts.append(np.asarray(Rd.count_live_samples(
-                mcfg, params, aabb, c, alpha_mask,
-                n_samples=int(n_samples), occ_stride=occ_stride,
-            )))
-        counts = np.concatenate(counts)
-        per_view.append({
-            "max": int(counts.max()), "p99": int(np.percentile(counts, 99)),
-            "mean": round(float(counts.mean()), 1),
-        })
     report["occ_stride"] = occ_stride
-    report["live_per_view"] = per_view
-    report["adaptive_k_would_pick"] = [
-        Rd.adaptive_compact_k(v["max"]) for v in per_view
-    ]
 
-    # --- occupancy-only counting pass cost -------------------------------
-    count_fn = lambda c: Rd.count_live_samples(  # noqa: E731
-        mcfg, params, aabb, c, alpha_mask,
-        n_samples=int(n_samples), occ_stride=occ_stride,
-    ).max()
-    report["count_pass_ms"] = round(_time_call(count_fn, stream), 2)
+    if not args.skip_counts:
+        # --- live-count distribution (what adaptive K would pick) --------
+        per_view = []
+        for v in views:
+            counts = []
+            for s in range(0, v.shape[0], args.chunk):
+                c = jnp.asarray(v[s : s + args.chunk])
+                counts.append(np.asarray(Rd.count_live_samples(
+                    mcfg, params, aabb, c, alpha_mask,
+                    n_samples=int(n_samples), occ_stride=occ_stride,
+                )))
+            counts = np.concatenate(counts)
+            per_view.append({
+                "max": int(counts.max()),
+                "p99": int(np.percentile(counts, 99)),
+                "mean": round(float(counts.mean()), 1),
+            })
+        report["live_per_view"] = per_view
+        report["adaptive_k_would_pick"] = [
+            Rd.adaptive_compact_k(v["max"]) for v in per_view
+        ]
 
-    # --- render cost vs compact_k ----------------------------------------
-    ms_by_k = {}
-    for k in args.ks:
-        if k > n_samples:
-            continue
-        fn = lambda c, _k=k: Rd.render_rays_compact(  # noqa: E731
+        # --- occupancy-only counting pass cost ---------------------------
+        count_fn = lambda c: Rd.count_live_samples(  # noqa: E731
             mcfg, params, aabb, c, alpha_mask,
-            n_samples=int(n_samples), compact_k=_k, app_k=_k,
-            white_bg=True,
-        ).rgb
-        ms_by_k[k] = round(_time_call(fn, stream), 2)
-    report["render_ms_by_k"] = ms_by_k
-    k64 = ms_by_k.get(64)
-    if k64:
-        report["rays_per_s_by_k"] = {
+            n_samples=int(n_samples), occ_stride=occ_stride,
+        ).max()
+        report["count_pass_ms"] = round(_time_call(count_fn, stream), 2)
+
+    # --- render cost vs compact_k (x select lowering) --------------------
+    for sel in (args.selects or (None,)):
+        ms_by_k = {}
+        for k in args.ks:
+            if k > n_samples:
+                continue
+            fn = lambda c, _k=k, _s=sel: Rd.render_rays_compact(  # noqa: E731
+                mcfg, params, aabb, c, alpha_mask,
+                n_samples=int(n_samples), compact_k=_k, app_k=_k,
+                white_bg=True, select_impl=_s,
+            ).rgb
+            ms_by_k[k] = round(_time_call(fn, stream), 2)
+        tag = f"render_ms_by_k_{sel}" if sel else "render_ms_by_k"
+        report[tag] = ms_by_k
+        report[tag.replace("render_ms", "rays_per_s")] = {
             k: round(args.chunk / ms * 1e3, 1) for k, ms in ms_by_k.items()
         }
 
