@@ -878,6 +878,7 @@ def render_chunked_adaptive(
     k_ladder=ADAPTIVE_EVAL_LADDER,
     acc_tol: float = 1e-3,
     feature_dtype: str = "bf16",
+    probe: bool = True,
 ):
     """Chunked eval renderer with per-chunk adaptive compact-K.
 
@@ -892,7 +893,10 @@ def render_chunked_adaptive(
     syncs ONCE per rung over all chunks (not per chunk), so tunnel
     latency is paid ≤ len(k_ladder)-1 times per call.  The top rung runs
     unflagged — its truncation semantics equal render_rays_compact at
-    k_ladder[-1] (≥ the fixed-K default, so never less accurate).
+    k_ladder[-1] (≥ the fixed-K default, so never less accurate).  With
+    ``probe`` (default), one strided-subsample chunk climbs the ladder
+    first and all chunks start at the rung it found — a hint only: a
+    chunk the subsample under-represents still escalates via its flag.
 
     Returns (RenderOutput, per-chunk K list).
     """
@@ -905,20 +909,57 @@ def render_chunked_adaptive(
             part = jnp.concatenate([part, jnp.zeros((pad, 6), part.dtype)], 0)
         parts.append((part, pad))
 
-    k0 = k_ladder[0]
+    import numpy as np
+
+    # probe (performance hint only, correctness is the acc-gate's): on a
+    # field where most chunks would climb the whole ladder (unsaturating
+    # density — the round-4 fog-field A/B paid every rung below the top,
+    # 53.8k vs 134.9k rays/s), ONE strided-subsample chunk spanning the
+    # view climbs first and every chunk then starts at the rung it found;
+    # stragglers the subsample missed still escalate via their flags
+    start = 0
+    if probe and len(parts) > 2:
+        stride_p = max(1, n // chunk)
+        probe_rays = rays[::stride_p][:chunk]
+        p_pad = chunk - probe_rays.shape[0]
+        if p_pad:
+            probe_rays = jnp.concatenate(
+                [probe_rays, jnp.zeros((p_pad, 6), probe_rays.dtype)], 0
+            )
+        for r, k in enumerate(k_ladder[:-1]):
+            _, p_bad = render_rays_compact_flagged(
+                cfg, params, aabb, probe_rays, alpha_mask,
+                n_samples=n_samples, compact_k=k, app_k=min(app_k, k),
+                white_bg=white_bg, acc_tol=acc_tol,
+                feature_dtype=feature_dtype,
+            )
+            if int(p_bad) == 0:
+                start = r
+                break
+        else:
+            start = len(k_ladder) - 1
+
+    k0 = k_ladder[start]
+    top0 = start == len(k_ladder) - 1
     outs, flags = [], []
     for part, _ in parts:
-        out, bad = render_rays_compact_flagged(
-            cfg, params, aabb, part, alpha_mask, n_samples=n_samples,
-            compact_k=k0, app_k=min(app_k, k0), white_bg=white_bg,
-            acc_tol=acc_tol, feature_dtype=feature_dtype,
-        )
+        if top0:
+            out, bad = render_rays_compact(
+                cfg, params, aabb, part, alpha_mask, n_samples=n_samples,
+                compact_k=k0, app_k=min(app_k, k0), white_bg=white_bg,
+                feature_dtype=feature_dtype,
+            ), None
+        else:
+            out, bad = render_rays_compact_flagged(
+                cfg, params, aabb, part, alpha_mask, n_samples=n_samples,
+                compact_k=k0, app_k=min(app_k, k0), white_bg=white_bg,
+                acc_tol=acc_tol, feature_dtype=feature_dtype,
+            )
         outs.append(out)
         flags.append(bad)
     ks = [k0] * len(parts)
-    import numpy as np
 
-    for rung, k in enumerate(k_ladder[1:], start=1):
+    for rung, k in enumerate(k_ladder[start + 1:], start=start + 1):
         pend = [i for i, f in enumerate(flags) if f is not None]
         if not pend:
             break
