@@ -264,20 +264,27 @@ def bootstrap_scene(
         )
 
     # ---- support set via warping (scene_gen.py:302-334) --------------------
+    # sub-timers split the three cost regimes (round-4 report_phases put
+    # this phase at 205 s of a 512² bootstrap): device warp programs +
+    # first-compile, tunnel readback of the warped stack, host-numpy pool
     with phase_timer("bootstrap_support_pool", log):
         if cfg.use_support_set:
-            rgbs_w, masks_w, depth_w = splat_ops.warp_one_to_many(
-                jnp.asarray(img), jnp.asarray(depth), jnp.asarray(poses_sprt[0]),
-                jnp.asarray(poses_sprt[1:]), intrinsic,
-            )
-            images = np.concatenate([img[None], np.asarray(rgbs_w)], 0)
-            masks = np.concatenate(
-                [np.ones((1, h, w), np.int32), np.asarray(masks_w)], 0
-            )
-            depths = np.concatenate([depth[None], np.asarray(depth_w)], 0)
-            pool = formatted_ray_pool(
-                images, depths, masks, poses_sprt, intrinsic, h, w
-            )
+            with phase_timer("bootstrap_sprt_warp", log):
+                rgbs_w, masks_w, depth_w = splat_ops.warp_one_to_many(
+                    jnp.asarray(img), jnp.asarray(depth),
+                    jnp.asarray(poses_sprt[0]),
+                    jnp.asarray(poses_sprt[1:]), intrinsic,
+                )
+            with phase_timer("bootstrap_sprt_readback", log):
+                images = np.concatenate([img[None], np.asarray(rgbs_w)], 0)
+                masks = np.concatenate(
+                    [np.ones((1, h, w), np.int32), np.asarray(masks_w)], 0
+                )
+                depths = np.concatenate([depth[None], np.asarray(depth_w)], 0)
+            with phase_timer("bootstrap_sprt_raypool", log):
+                pool = formatted_ray_pool(
+                    images, depths, masks, poses_sprt, intrinsic, h, w
+                )
         else:
             pool = formatted_ray_pool(
                 img[None], depth[None], np.ones((1, h, w), np.int64),
