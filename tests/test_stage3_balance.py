@@ -1,4 +1,4 @@
-"""Stage-3 tail rebalance (stage3_balance='inverse_exposure'): the
+"""Stage-3 tail rebalance (stage3_balance='tail_deficit'): the
 last-generated view — the full-schedule quality outlier, which never
 appears in any 4:1 replay pool (text2nerf_main.py:550-555) — must get the
 LARGEST stage-3 sampling weight, and the weighted sampler must deliver
@@ -12,27 +12,36 @@ from text2nerf_tpu.engine import trainer
 def _cfg(**kw):
     return trainer.TrainConfig(
         n_stage1=50, n_stage2=50, n_stage3=10, batch_size=16384,
-        stage3_balance="inverse_exposure", **kw,
+        stage3_balance="tail_deficit", **kw,
     )
 
 
-def test_last_view_gets_max_weight():
-    # four equal-size view pools at the production schedule: the last
-    # view has the lowest accumulated exposure (it appears in NO replay
-    # pool), so it draws the largest stage-3 weight.  Exposure is not
-    # strictly monotone in generation order — a mid-schedule view's own
-    # stage delivers >1 pass/epoch over its pool (n_iters_epoch spans
-    # new + replay pools) — but the tail deficit always dominates.
-    lengths = [262144] * 4
+def test_weights_strictly_increase_with_recency():
+    # the later a view's content was generated, the fewer epochs the
+    # field has had to reconcile it — weights must be strictly increasing
+    # in view index, with the seed view (present the whole schedule)
+    # smallest.  The recency model depends only on the schedule, not the
+    # pool sizes (the first-cut per-ray-exposure model keyed on pool
+    # sizes and was measured WRONG: the seed view's ~24-warp pool made it
+    # draw 51% of stage-3 batches, PERF.md round 4).
+    lengths = [6_300_000, 262144, 262144, 262144]  # real-run shape
     w = trainer.stage3_view_weights(_cfg(), lengths, iters1=16)
     assert abs(w.sum() - 1.0) < 1e-12
-    assert np.argmax(w) == 3, w
-    assert w[3] > w[0] > 0, w
+    assert np.all(np.diff(w) > 0), w
+    assert np.argmax(w) == 3 and np.argmin(w) == 0, w
     # gamma sharpens the skew monotonically (the A/B strength knob)
     w4 = trainer.stage3_view_weights(
         _cfg(stage3_balance_gamma=4.0), lengths, iters1=16
     )
     assert w4[3] > w[3] and w4[1] < w[1], (w, w4)
+    # the production 22/22/10 shape: last view's share beats uniform by a
+    # wide margin (the whole point of the rebalance)
+    cfg22 = trainer.TrainConfig(
+        n_stage1=22, n_stage2=22, n_stage3=10, batch_size=16384,
+        stage3_balance="tail_deficit",
+    )
+    w22 = trainer.stage3_view_weights(cfg22, lengths, iters1=16)
+    assert w22[3] > 0.4, w22
 
 
 def test_uniform_exposures_give_uniform_weights():

@@ -26,7 +26,7 @@ def test_upsample_schedule_grows_grid(tmp_path):
         upsamp_list=(4,), update_alphamask_list=(8,),
         # integration of the stage-3 tail rebalance with the c2f schedule
         # (unit coverage: test_stage3_balance.py)
-        stage3_balance="inverse_exposure", stage3_balance_gamma=2.0,
+        stage3_balance="tail_deficit", stage3_balance_gamma=2.0,
         app_k=8, eval_every_epochs=1000, seed=3,
         model=tf.TensoRFConfig(
             density_n_comp=(2, 2, 2), app_n_comp=(4, 4, 4), app_dim=6,

@@ -123,11 +123,11 @@ class TrainConfig:
     # view keeps receiving reconciliation epochs via the 4:1 replay rule
     # (text2nerf_main.py:550-555) during all later views' stages, while
     # the last view gets only its own n_stage2 + n_stage3 epochs.
-    # 'inverse_exposure' draws each stage-3 batch from ONE view's pool,
-    # the view chosen with probability ∝ (1 / expected per-ray exposure
-    # accumulated over stages 1-2)^gamma — equalizing total optimization
-    # pressure across views.  'uniform' is reference parity (one
-    # permutation over the merged pool, text2nerf_main.py:529-536).
+    # 'tail_deficit' draws each stage-3 batch from ONE view's pool, the
+    # view chosen with probability ∝ (1 / epochs its content has been
+    # trained since generation)^gamma — steering stage 3 toward the
+    # least-reconciled (latest) views.  'uniform' is reference parity
+    # (one permutation over the merged pool, text2nerf_main.py:529-536).
     stage3_balance: str = "uniform"
     stage3_balance_gamma: float = 1.0
     seed: int = 1024
@@ -180,40 +180,42 @@ def _epoch_iters(n_rays: int, batch: int) -> int:
 
 
 def stage3_view_weights(cfg: "TrainConfig", lengths, iters1: int) -> np.ndarray:
-    """Per-view stage-3 sampling weights ∝ (1 / expected exposure)^gamma.
+    """Per-view stage-3 sampling weights ∝ (1 / reconciliation epochs)^gamma.
 
-    Expected per-ray exposure (how many passes over each of a view's rays
-    the schedule delivers across stages 1-2) is analytic in the schedule
-    structure (text2nerf_main.py:481-555): view 0 gets the whole of stage
-    1; view u's own stage delivers the 4-in-5 new-batch share to its pool;
-    each stage u also delivers the 1-in-5 replay share spread uniformly
-    per-ray over views 0..u-1's concatenated pools.  Deterministic in the
-    config + pool sizes, so resume needs no extra state.
+    The quality deficit at the full schedule decays with RECENCY: the
+    later a view's content was generated, the fewer epochs the field has
+    had to reconcile it (round-3 full run: last view 16.7 dB while
+    earlier views reached 40+; text2nerf_main.py:481-555 gives the last
+    view only its own stage + stage 3).  Weight each view by the inverse
+    of the epochs its content has been trained on when stage 3 starts:
+    E_0 = n_stage1 + (V-1)*n_stage2 + n_stage3 (the seed view is present
+    throughout), E_u = (V-u)*n_stage2 + n_stage3 for generated view u.
+    Deterministic in the config alone, so resume needs no extra state.
+
+    A first cut weighted by inverse per-RAY exposure instead was run and
+    measured WRONG (round 4, PERF.md): the seed view's pool spans ~24
+    support warps, so its per-ray exposure is tiny and it drew 51% of
+    stage-3 batches while the dying last view got 18.5% — per-ray
+    pressure is not per-view quality need.  ``iters1`` is kept for
+    call-site compatibility (unused by the recency model).
     """
+    del iters1
     lengths = np.asarray(lengths, np.float64)
     v_n = len(lengths)
-    b = float(cfg.batch_size)
-    expo = np.zeros(v_n)
-    if lengths[0] > 0:
-        expo[0] = cfg.n_stage1 * iters1 * b / lengths[0]
+    epochs = np.zeros(v_n)
+    epochs[0] = cfg.n_stage1 + (v_n - 1) * cfg.n_stage2 + cfg.n_stage3
     for u in range(1, v_n):
-        iters_u = _epoch_iters(int(lengths[u]), cfg.batch_size) + iters1
-        n_rep = (iters_u + 4) // 5  # it % 5 == 0 draws (the replay rule)
-        if lengths[u] > 0:
-            expo[u] += cfg.n_stage2 * (iters_u - n_rep) * b / lengths[u]
-        pre = lengths[:u].sum()
-        if pre > 0:
-            expo[:u] += cfg.n_stage2 * n_rep * b / pre
+        epochs[u] = (v_n - u) * cfg.n_stage2 + cfg.n_stage3
     w = np.zeros(v_n)
-    ok = (expo > 0) & (lengths > 0)
-    w[ok] = (1.0 / expo[ok]) ** cfg.stage3_balance_gamma
+    ok = (epochs > 0) & (lengths > 0)
+    w[ok] = (1.0 / epochs[ok]) ** cfg.stage3_balance_gamma
     if w.sum() <= 0:
         w[lengths > 0] = 1.0
     return w / w.sum()
 
 
 class _WeightedViewSampler:
-    """Stage-3 batch source for stage3_balance='inverse_exposure': each
+    """Stage-3 batch source for stage3_balance='tail_deficit': each
     batch comes from ONE view's update pool, the view drawn ∝ weights;
     within a view, permutation sampling (SimpleSampler semantics)."""
 
@@ -584,7 +586,7 @@ def reconstruction(
     n_iters_epoch = n_iters_epoch1
 
     def build_stage3_sampler(n_views_done: int, seed: int):
-        if cfg.stage3_balance != "inverse_exposure":
+        if cfg.stage3_balance != "tail_deficit":
             return None
         pools = [scene.updates["%05d" % v] for v in range(n_views_done)]
         w = stage3_view_weights(

@@ -44,7 +44,7 @@ def main(argv=None):
     p.add_argument("--grid_init", type=int, default=0)
     p.add_argument("--upsamp", type=int, nargs="*",
                    default=(1000, 1500, 2000, 2750, 3500))
-    # stage-3 tail rebalance (VERDICT r4 item 2): 'inverse_exposure'
+    # stage-3 tail rebalance (VERDICT r4 item 2): 'tail_deficit'
     # draws stage-3 batches per-view ∝ (1/expected exposure)^gamma
     p.add_argument("--stage3_balance", default="uniform")
     p.add_argument("--stage3_gamma", type=float, default=1.0)
