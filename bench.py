@@ -84,9 +84,19 @@ def fit_seed_scene(cfg, n_epochs=6, hw=256):
     return mcfg, params, aabb
 
 
-def measure_render(cfg, params, aabb, alpha_mask, n_samples, n_views=4):
+def measure_render(cfg, params, aabb, alpha_mask, n_samples, n_views=4,
+                   mode="fixed64", pose_offset=0):
     """rays/s over ``n_views`` distinct full 512^2 views (+1 warm-up pose
-    outside the timed set)."""
+    outside the timed set).
+
+    ``mode='fixed64'``: the round-1..3 headline path (compact_k=64,
+    app_k=64 — the channel-fused shade-all path, +7.8% over app_k=48,
+    exact under tensorBase.py:477-492 semantics for every ray whose live
+    samples fit in K).  ``mode='adaptive'``: the acc-gated adaptive-K
+    ladder (render_chunked_adaptive) — accuracy-first: never truncates an
+    unsaturated ray at the top rung, escalates only flagged chunks (the
+    round-4 profile showed fixed K=64 truncating the under-trained bench
+    field at 14.7 dB vs untruncated)."""
     import jax.numpy as jnp
     from text2nerf_tpu.ops import rays as R
     from text2nerf_tpu.ops import render as Rd
@@ -98,19 +108,26 @@ def measure_render(cfg, params, aabb, alpha_mask, n_samples, n_views=4):
     poses = traj.test_trajectory("circle0", np.eye(4), angle=0.2,
                                  trans_range=0.2)
     chunk = 16384
+    # pose_offset keeps repeated measurements on DISJOINT poses: the axon
+    # tunnel dedups dispatches whose input buffers it has already seen,
+    # so a second mode timed over the same rays could read fake-fast
     all_rays = [
-        jnp.concatenate(R.rays_from_pose(dirs, jnp.asarray(poses[i])), -1)
+        jnp.concatenate(
+            R.rays_from_pose(dirs, jnp.asarray(poses[pose_offset + i])), -1
+        )
         for i in range(n_views + 1)
     ]
 
     def render_view(rays):
+        if mode == "adaptive":
+            out, _ = Rd.render_chunked_adaptive(
+                cfg, params, aabb, rays, alpha_mask, n_samples=n_samples,
+                chunk=chunk, app_k=128, white_bg=True,
+                k_ladder=(16, 32, 64, 128),
+            )
+            return [out.rgb]
         outs = []
         for s in range(0, rays.shape[0], chunk):
-            # app_k == compact_k hits the channel-fused shade-all path
-            # (one gathered row per sample per factor, PERF.md round-3
-            # session 5): measured +7.8% over app_k=48 on this scene, and
-            # exact — every above-threshold sample is shaded, no top-K
-            # truncation (tensorBase.py:477-492 semantics).
             out = Rd.render_rays_compact(
                 cfg, params, aabb, rays[s : s + chunk], alpha_mask,
                 n_samples=n_samples, compact_k=64, app_k=64, white_bg=True,
@@ -144,13 +161,50 @@ def main():
     n_samples = tf.default_n_samples(reso, cfg.step_ratio)
 
     # --- headline: trained seed-scene field --------------------------------
-    mcfg, params, t_aabb = fit_seed_scene(cfg)
+    # 30 stage-1 epochs (round 4; was 6): the 6-epoch field was fog — its
+    # transmittance never saturated, so the fixed-K=64 path truncated it
+    # at 14.7 dB vs untruncated (PERF.md round-4 profile).  A converged
+    # seed fit is the production regime: opaque surfaces saturate within
+    # the bottom adaptive rung.
+    mcfg, params, t_aabb = fit_seed_scene(cfg, n_epochs=30)
     alpha_mask, _ = tf.update_alpha_mask(
         mcfg, params, t_aabb, (200, 200, 200), pool=5
     )
     occupancy = float(np.asarray(alpha_mask["volume"]).mean())
+    t_aabb = jnp.asarray(t_aabb)
     trained_rays_s = measure_render(
-        mcfg, params, jnp.asarray(t_aabb), alpha_mask, n_samples
+        mcfg, params, t_aabb, alpha_mask, n_samples, mode="adaptive"
+    )
+    fixed64_rays_s = measure_render(
+        mcfg, params, t_aabb, alpha_mask, n_samples, mode="fixed64",
+        pose_offset=5,
+    )
+
+    # accuracy of the headline path vs an untruncated render (one view):
+    # the adaptive ladder must match K=160 (> any live count) — this is
+    # what makes the headline HONEST, the fixed-64 figure is reported for
+    # round-over-round comparability only
+    from text2nerf_tpu.ops import rays as R
+    from text2nerf_tpu.ops import render as Rd
+    from text2nerf_tpu.data import trajectories as traj
+
+    fx, fy, cx, cy = R.default_intrinsics(512, 512)
+    dirs = R.ray_directions(512, 512, (fx, fy), (cx, cy))
+    # pose 10: disjoint from both timed pose sets (dedup hygiene)
+    pose = traj.test_trajectory("circle0", np.eye(4), angle=0.2,
+                                trans_range=0.2)[10]
+    rays_v = jnp.concatenate(R.rays_from_pose(dirs, jnp.asarray(pose)), -1)
+    ada_rgb, _ = Rd.render_chunked_adaptive(
+        mcfg, params, t_aabb, rays_v, alpha_mask, n_samples=n_samples,
+        chunk=16384, app_k=128,
+    )
+    ref_rgb = Rd.render_chunked(
+        mcfg, params, t_aabb, rays_v, n_samples=n_samples, chunk=16384,
+        app_k=160, alpha_mask=alpha_mask,
+        compact_k=min(160, int(n_samples)),
+    )
+    max_dev = float(
+        np.abs(np.asarray(ada_rgb.rgb) - np.asarray(ref_rgb.rgb)).max()
     )
 
     # --- secondary: synthetic room shell -----------------------------------
@@ -170,6 +224,9 @@ def main():
                     trained_rays_s / NAIVE_BASELINE_RAYS_PER_S, 3
                 ),
                 "trained_mask_occupancy": round(occupancy, 3),
+                "headline_mode": "adaptive_acc_gated",
+                "max_dev_vs_untruncated": round(max_dev, 5),
+                "fixed64_rays_s": round(fixed64_rays_s, 1),
                 "shell_scene_rays_per_s": round(shell_rays_s, 1),
             }
         )

@@ -373,3 +373,124 @@ def test_train_step_guard_matches_wrapper(monkeypatch):
     }
     with pytest.raises(ValueError, match="pool dilation"):
         step(state, AABB, batch, jax.random.PRNGKey(0), alpha_mask=mask3)
+
+
+# ---------------------------------------------------------------------------
+# Depth-anchored compaction (round 4): the first-K-live window can end
+# before a ray's supervised depth once the mask densifies; anchoring the
+# window to END at depth_gt + band guarantees the surface is rendered.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("impl", ["sort", "topk", "rank"])
+def test_last_k_live_matches_numpy_oracle(impl):
+    rng = np.random.default_rng(11)
+    live = rng.uniform(size=(32, 48)) < 0.3
+    k = 8
+    idx, sel = R.last_k_live(jnp.asarray(live), k, impl=impl)
+    idx, sel = np.asarray(idx), np.asarray(sel)
+    for r in range(32):
+        want = np.flatnonzero(live[r])[-k:]
+        got = idx[r][sel[r]]
+        np.testing.assert_array_equal(got, want)
+        # pads sit at the FRONT, pointing at 0, so kept z stays ascending
+        np.testing.assert_array_equal(sel[r], np.array(
+            [False] * (k - len(want)) + [True] * len(want)))
+        np.testing.assert_array_equal(idx[r][~sel[r]], 0)
+
+
+def test_depth_anchored_equals_first_k_when_cap_covers_ray():
+    """depth_gt beyond the far slab boundary + K = S: the anchored window
+    holds every live sample, identical to the unanchored compact render."""
+    params = _params()
+    rays = _rays()
+    key = jax.random.PRNGKey(3)
+    plain = R.render_rays_train_compact(
+        CFG, params, AABB, rays, _ones_mask(), key, n_samples=S,
+        compact_k=S, app_k=32, white_bg=True, density_group=1,
+    )
+    anchored = R.render_rays_train_compact(
+        CFG, params, AABB, rays, _ones_mask(), key, n_samples=S,
+        compact_k=S, app_k=32, white_bg=True, density_group=1,
+        depth_gt=jnp.full((64,), 14.0, jnp.float32), cap_band_samples=6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(anchored.rgb), np.asarray(plain.rgb), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(anchored.depth), np.asarray(plain.depth), atol=1e-5
+    )
+
+
+def test_depth_anchored_window_sees_truncated_surface():
+    """The round-4 full-schedule failure, reduced: an all-live mask with
+    K << S makes the first-K window end far before the slab the rays'
+    supervision points at — the render never sees it (acc ~ 0).  The
+    depth-anchored window ends at the supervised depth and matches the
+    dense render."""
+    params, _ = _slab_field_and_mask()  # density only in z in (2.4, 3.2)
+    rays = np.zeros((32, 6), np.float32)
+    rays[:, 2] = -3.9
+    rays[:, 5] = 1.0
+    rays = jnp.asarray(rays)
+    gt_depth = jnp.full((32,), 6.7, jnp.float32)  # slab from o.z = -3.9
+    key = jax.random.PRNGKey(5)
+    dense = R.render_rays(
+        CFG, params, AABB, rays, key, n_samples=S, app_k=16, is_train=True,
+        white_bg=True,
+    )
+    first_k = R.render_rays_train_compact(
+        CFG, params, AABB, rays, _ones_mask(), key, n_samples=S,
+        compact_k=16, app_k=16, white_bg=True, density_group=1,
+    )
+    anchored = R.render_rays_train_compact(
+        CFG, params, AABB, rays, _ones_mask(), key, n_samples=S,
+        compact_k=16, app_k=16, white_bg=True, density_group=1,
+        depth_gt=gt_depth, cap_band_samples=6,
+    )
+    assert float(np.asarray(first_k.acc).max()) < 0.05  # window truncates
+    np.testing.assert_allclose(
+        np.asarray(anchored.acc), np.asarray(dense.acc), atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(anchored.rgb), np.asarray(dense.rgb), atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(anchored.depth), np.asarray(dense.depth), atol=5e-3
+    )
+
+
+def test_train_step_depth_cap_grows_deep_content():
+    """End-to-end: with a dense live prefix overflowing K, the unanchored
+    compacted step cannot fit content at the supervised depth (the window
+    never reaches it); depth_cap_band anchors the window and the fit
+    converges."""
+    params = _params()
+    mask = _ones_mask()
+    rays = np.zeros((64, 6), np.float32)
+    rays[:, 2] = -3.9
+    rays[:, 5] = 1.0
+    batch = {
+        "rays": jnp.asarray(rays),
+        "rgb": jnp.full((64, 3), 0.2, jnp.float32),
+        "depth": jnp.full((64,), 6.5, jnp.float32),
+    }
+    w = ts.LossWeights(depth=1.0, transmittance=0.0, tv_density=0, tv_app=0)
+
+    def fit(band):
+        state, tx = ts.make_train_state(params, lr_init=0.05, factor=1.0)
+        step = ts.make_train_step(
+            CFG, tx, n_samples=S, app_k=16, white_bg=True, weights=w,
+            compact_k=16, depth_cap_band=band,
+        )
+        key = jax.random.PRNGKey(0)
+        metrics = None
+        for _ in range(100):
+            key, k = jax.random.split(key)
+            state, metrics = step(state, AABB, batch, k, alpha_mask=mask)
+        return float(metrics["depth_loss"])
+
+    loss_truncated = fit(0)
+    loss_anchored = fit(6)
+    assert loss_anchored < 0.25 * loss_truncated, (
+        loss_truncated, loss_anchored)

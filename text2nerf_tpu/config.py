@@ -176,6 +176,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="TPU-native: alpha-mask train compaction — once a "
                    "mask exists, gather/scatter only the first K mask-live "
                    "samples per ray (0 = dense; PERF.md round 3)")
+    p.add_argument("--train_depth_cap_band", type=int, default=6,
+                   help="TPU-native: depth-anchored compaction — keep the "
+                   "LAST K mask-live samples at z <= depth_gt + band*step "
+                   "so the window always covers the supervised surface "
+                   "(0 = first-K-live; PERF.md round 4)")
     p.add_argument("--train_microbatch", type=int, default=32,
                    help="TPU-native: gradient micro-batch count inside the "
                    "jitted train step (PERF.md)")
@@ -259,6 +264,7 @@ def to_configs(args):
         add_timestamp=bool(args.add_timestamp),
         train_density_group=args.train_density_group,
         train_compact_k=args.train_compact_k,
+        train_depth_cap_band=args.train_depth_cap_band,
         train_microbatch=args.train_microbatch,
         train_compute_dtype=args.train_compute_dtype,
         resume_every_epochs=args.resume_every_epochs,

@@ -114,6 +114,7 @@ def make_train_step(
     microbatch: int = 1,
     compute_dtype: str = "fp32",
     compact_k: int = 0,
+    depth_cap_band: int = 0,
     runtime_decay: bool = False,
     lr_init: float = 0.02,
     lr_basis: float = 1e-3,
@@ -147,6 +148,13 @@ def make_train_step(
     and Adam state all stay fp32 (a mixed-precision option; the gather/
     scatter costs are row-count-bound, so expect modest gains at most).
 
+    ``depth_cap_band=B > 0`` switches the compacted selection to the
+    DEPTH-ANCHORED window (render_rays_train_compact): the last
+    ``compact_k`` mask-live samples at ``z <= depth_gt + B*step`` instead
+    of the first ``compact_k`` live — guaranteeing the supervised surface
+    is inside the rendered window (requires ``weights.depth > 0``; the
+    anchor is the batch's depth supervision).
+
     ``microbatch=R`` accumulates gradients over R equal sub-batches inside
     one lax.scan (HLO temp memory scales with B/R; scatter row count — the
     time cost — is unchanged).  The losses are means over equal-size
@@ -159,15 +167,23 @@ def make_train_step(
     """
     assert depth_loss_type in ("mse", "ssi", "silog"), depth_loss_type
     compact = compact_k > 0 and not ndc
+    # depth-anchored compaction needs per-ray depth supervision to anchor
+    # to — with weights.depth == 0 the batch depths may be dummies
+    anchor = compact and depth_cap_band > 0 and weights.depth > 0
 
     def batch_loss(params, aabb, batch, rng, alpha_mask=None):
         """Per-ray loss terms (no batch-independent regularizers)."""
         if compact and alpha_mask is not None:
             # alpha-mask train compaction (render_rays_train_compact):
-            # gather/scatter rows only for the first compact_k mask-live
-            # samples per ray — the round-3 answer to the scatter-bound
-            # backward (PERF.md).  Semantics = the reference's masked
-            # culling (tensorBase.py:451-456) + tail truncation.
+            # gather/scatter rows only for compact_k mask-live samples per
+            # ray — the round-3 answer to the scatter-bound backward
+            # (PERF.md).  Semantics = the reference's masked culling
+            # (tensorBase.py:451-456) + tail truncation.  With
+            # depth_cap_band > 0 the window is DEPTH-ANCHORED (round 4):
+            # it ends at the ray's supervised depth + band, so the rgb
+            # loss always sees the surface it is asked to reproduce —
+            # first-K truncation before the GT depth manufactured fog
+            # (the full-schedule last-view collapse, PERF.md round 4).
             out = render_ops._render_rays_train_compact(
                 cfg, params, aabb, batch["rays"], alpha_mask, rng,
                 n_samples=n_samples,
@@ -178,6 +194,8 @@ def make_train_step(
                 density_block=density_block,
                 occ_stride=max(1, density_group),
                 feature_dtype=compute_dtype,
+                depth_gt=batch["depth"] if anchor else None,
+                cap_band_samples=depth_cap_band if anchor else 0,
             )
         else:
             out = render_ops.render_rays(

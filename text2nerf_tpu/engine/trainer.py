@@ -117,6 +117,17 @@ class TrainConfig:
     # content cannot grow in dead-masked voxels and quality collapses
     # (PERF.md round 3 A/B).
     train_compact_k: int = 64
+    # Depth-anchored compaction window (round 4): the first-K-live window
+    # can end BEFORE a ray's supervised depth once the mask densifies (at
+    # the full schedule, 25% of the last view's hole rays), asking the rgb
+    # loss to reproduce content the render cannot see — the optimizer then
+    # manufactures fog inside the window and the view collapses (measured
+    # 11 dB).  With band > 0 the window instead holds the LAST K mask-live
+    # samples at z <= depth_gt + band·step: the supervised surface is
+    # always rendered; the dropped early samples are those the margin loss
+    # wants empty anyway.  Value = band width in march steps behind the
+    # GT depth (0 disables; requires depth supervision, weights.depth > 0).
+    train_depth_cap_band: int = 6
     # TPU-native extension (round 4): stage-3 tail rebalance.  Under the
     # reference schedule the LAST-generated view is the quality outlier
     # (16.7 dB at the full 50/50/10 schedule, PERF.md): every earlier
@@ -277,6 +288,7 @@ def _step_kwargs(
         density_group=group, density_block=block,
         compute_dtype=cfg.train_compute_dtype,
         compact_k=cfg.train_compact_k,
+        depth_cap_band=cfg.train_depth_cap_band,
         runtime_decay=True, lr_init=cfg.lr_init, lr_basis=cfg.lr_basis,
         microbatch=ts.effective_microbatch(
             cfg.batch_size, cfg.train_microbatch

@@ -372,6 +372,26 @@ def first_k_live(live, k: int, impl: str = "sort"):
     return jnp.minimum(idx, n - 1), sel
 
 
+def last_k_live(live, k: int, impl: str = "sort"):
+    """Per-row indices of the LAST ``k`` True entries of ``live`` (B, N),
+    ascending, plus the selection mask (pad slots are False and point at 0,
+    placed at the FRONT so the kept indices stay in march order).
+
+    Companion to first_k_live for the depth-anchored train compaction
+    (PERF.md round 4): when a ray crosses more than K mask-live samples
+    BEFORE its supervised depth, the first-K window ends before the
+    content the rgb loss is asked to reproduce — the optimizer then
+    manufactures fog inside the window (measured: the last generated
+    view's hole region collapsed to 6 dB at the full schedule).  Anchoring
+    the window to END at the supervised depth (+band) guarantees the
+    supervised surface is always rendered.
+    """
+    n = live.shape[1]
+    idx_r, sel_r = first_k_live(live[:, ::-1], k, impl=impl)
+    idx = jnp.where(sel_r, (n - 1) - idx_r, 0)
+    return idx[:, ::-1], sel_r[:, ::-1]
+
+
 #: compact_k buckets an adaptive eval picks from — a small static set so
 #: at most len(buckets) jit specializations of the render exist per config
 ADAPTIVE_K_BUCKETS = (16, 32, 48, 64, 96, 128)
@@ -668,6 +688,8 @@ def render_rays_train_compact(
     density_block: int = 4,
     feature_dtype: str = "fp32",
     select_impl: Optional[str] = None,
+    depth_gt=None,
+    cap_band_samples: int = 0,
 ) -> RenderOutput:
     """TRAIN-path alpha-mask sample compaction (round-3 perf lever).
 
@@ -688,6 +710,20 @@ def render_rays_train_compact(
     block row; callers must check tensorf.grouping_block, and the group
     doubles as the occupancy-test stride, licensed by the same pool
     dilation as eval striding).
+
+    ``depth_gt`` (B,) + ``cap_band_samples`` > 0 switch on DEPTH-ANCHORED
+    selection (round 4): live samples are capped at ``z <= depth_gt +
+    cap_band_samples * step`` and the LAST K capped-live samples are kept,
+    so the window always ends at — and therefore covers — the supervised
+    surface.  Rationale: first-K-live truncation before the GT depth asks
+    the rgb loss to reproduce content the render cannot see, which
+    manufactures fog early in the window (measured at the full schedule:
+    25% of the last view's hole rays truncated, hole PSNR 6 dB).  Samples
+    behind the cap are exactly those the ray's own supervision says are
+    occluded; samples before the window start are those the 1e3-weighted
+    transmittance-margin loss wants empty (the dropped gradient there is
+    the reference's own margin semantics applied through other rays).
+    Rays with depth_gt <= 0 keep an uncapped window (cap = +inf).
     """
     g = max(1, int(density_group))
     occ_stride = g
@@ -708,6 +744,7 @@ def render_rays_train_compact(
         white_bg=white_bg, density_group=g, density_block=density_block,
         occ_stride=occ_stride, feature_dtype=feature_dtype,
         select_impl=_resolve_select_impl(select_impl),
+        depth_gt=depth_gt, cap_band_samples=cap_band_samples,
     )
 
 
@@ -716,7 +753,7 @@ def render_rays_train_compact(
     static_argnames=(
         "cfg", "n_samples", "compact_k", "app_k", "white_bg",
         "density_group", "density_block", "occ_stride", "feature_dtype",
-        "select_impl",
+        "select_impl", "cap_band_samples",
     ),
 )
 def _render_rays_train_compact(
@@ -736,6 +773,8 @@ def _render_rays_train_compact(
     occ_stride: int,
     feature_dtype: str,
     select_impl: str = "sort",
+    depth_gt=None,
+    cap_band_samples: int = 0,
 ) -> RenderOutput:
     fdt = jnp.bfloat16 if feature_dtype == "bf16" else None
     g = density_group
@@ -770,14 +809,28 @@ def _render_rays_train_compact(
     occ = jnp.repeat(occ_t, occ_stride, axis=1)[:, :s_pad]
     live = valid & (occ > 0)
 
+    anchored = depth_gt is not None and cap_band_samples > 0
+    if anchored:
+        # depth-anchored selection (see render_rays_train_compact): drop
+        # live samples behind the supervised surface (+band) so the LAST-K
+        # window below always ends at — and covers — the GT depth
+        cap = jnp.where(
+            depth_gt > 0, depth_gt + cap_band_samples * step, jnp.inf
+        )
+        live = live & (z_vals <= cap[:, None])
+
     n_groups = s_pad // g
     kg = max(1, min(compact_k, n_samples) // g)
     if g > 1:
         live_g = jnp.any(live.reshape(b, n_groups, g), axis=-1)
     else:
         live_g = live
-    # first-Kg live groups per ray, in ray order
-    gidx, g_live = first_k_live(live_g, kg, impl=select_impl)
+    if anchored:
+        # last-Kg capped-live groups per ray, ascending
+        gidx, g_live = last_k_live(live_g, kg, impl=select_impl)
+    else:
+        # first-Kg live groups per ray, in ray order
+        gidx, g_live = first_k_live(live_g, kg, impl=select_impl)
 
     # member sample indices of the selected groups: (B, Kg*g); z/pts at
     # the selected samples are RECOMPUTED from midx with the exact float
