@@ -494,3 +494,35 @@ def test_train_step_depth_cap_grows_deep_content():
     loss_anchored = fit(6)
     assert loss_anchored < 0.25 * loss_truncated, (
         loss_truncated, loss_anchored)
+
+
+def test_stamped_train_mask_covers_replay_pool():
+    """Round-4 lock-in fix: the trainer's train-compaction mask must stay
+    live at EVERY pool's supervised depth band — including the replay
+    pool (stage 3 has pool_new=None; a weakly-trained view's region would
+    otherwise go permanently dead at the first mask rebuild after its
+    stamp is dropped).  trainer.stamped_train_mask is the single stamping
+    site train_mask_arg uses."""
+    from text2nerf_tpu.engine import trainer as tr
+
+    mask = {
+        "volume": jnp.zeros((24, 24, 24), jnp.float32),
+        "aabb": AABB, "pool": 5,
+    }
+    ray_z = np.array([[0, 0, -2, 0, 0, 1.0]], np.float32)   # hits (0,0,2)
+    ray_x = np.array([[-2, 0, 0, 1.0, 0, 0]], np.float32)   # hits (2,0,0)
+    pool_new = (ray_z, None, np.array([4.0], np.float32))
+    pool_pre = (ray_x, None, np.array([4.0], np.float32))
+    out = tr.stamped_train_mask(mask, pool_new, pool_pre)
+    vol = np.asarray(out["volume"])  # [z, y, x]
+    i_hi = round((2.0 + 4) / 8 * 23)
+    i_mid = round((0.0 + 4) / 8 * 23)
+    assert vol[i_hi, i_mid, i_mid] == 1.0      # pool_new band live
+    assert vol[i_mid, i_mid, i_hi] == 1.0      # replay band live (round 4)
+    # stage 3 shape: pool_new is None — replay stamp alone must apply
+    out3 = tr.stamped_train_mask(mask, None, pool_pre)
+    vol3 = np.asarray(out3["volume"])
+    assert vol3[i_mid, i_mid, i_hi] == 1.0
+    assert vol3[i_hi, i_mid, i_mid] == 0.0
+    # both empty: identity
+    assert tr.stamped_train_mask(mask, None, None) is mask

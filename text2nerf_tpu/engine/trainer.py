@@ -296,6 +296,27 @@ def _step_kwargs(
     )
 
 
+def stamped_train_mask(eval_mask, pool_new, pool_pre):
+    """Stamp the train-compaction mask with every supervised depth band.
+
+    Pools are ``(rays, rgbs, depths, ...)`` tuples (scene_state updates
+    layout).  ``pool_new`` is the in-flight view's pool (round 3: its
+    content must be able to GROW through the frozen-support mask);
+    ``pool_pre`` is the replay pool over all earlier views (round 4: a
+    weakly-trained region loses its density-derived mask coverage at the
+    next rebuild and goes permanently dead — the last-view collapse's
+    lock-in step; in stage 3 pool_new is None, so the replay stamp is the
+    only thing keeping under-trained supervised regions trainable).
+    Stamping only marks live what some training ray's own depth
+    supervision says should hold content (tf.stamp_alpha_mask)."""
+    m = eval_mask
+    if pool_new is not None and len(pool_new[0]) > 0:
+        m = tf.stamp_alpha_mask(m, pool_new[0], pool_new[2])
+    if pool_pre is not None and len(pool_pre[0]) > 0:
+        m = tf.stamp_alpha_mask(m, pool_pre[0], pool_pre[2])
+    return m
+
+
 def _start_train_step_warmup(cfg: "TrainConfig", scene_cfg):
     """Overlap the stage-1 train-step jit compile with the host-side scene
     bootstrap (VERDICT r3 item 5).
@@ -513,9 +534,18 @@ def reconstruction(
         mask must be STAMPED with the in-flight view's supervised depth
         band (tf.stamp_alpha_mask) — without it the new view's content
         cannot grow in dead-masked voxels and per-view quality collapses
-        (PERF.md round-3 A/B).  Keyed on (mask, pool) identity so every
-        mask-rebuild site and every pool change re-stamps.  The guard
-        does host-side readbacks, hence the memoization.
+        (PERF.md round-3 A/B).  Round 4: the REPLAY pool is stamped too —
+        a view whose surface trained weakly (e.g. fog from the
+        pre-anchoring truncation) loses its stamp at the next mask
+        rebuild and its region goes permanently dead, exactly the
+        last-view collapse's lock-in step; and in stage 3 pool_new is
+        None, so without the replay stamp stage 3 trains against a mask
+        that can never regrow ANY under-trained region.  Stamping is a
+        max-reduction over supervised depth bands: it only keeps live
+        what some ray's own supervision says should hold content.  Keyed
+        on (mask, pools) identity so every mask-rebuild site and every
+        pool change re-stamps.  The guard does host-side readbacks,
+        hence the memoization.
 
         Stage 1 ALWAYS trains dense (``epoch`` resolves to the loop
         variable at call time): the seed content is still growing, a mask
@@ -535,7 +565,7 @@ def reconstruction(
         # keeps the cached verdict, which stays conservative — the march
         # step only shrinks under upsample, and the per-step wrapper
         # guard in make_train_step re-verifies per (reso, stride) anyway.
-        mkey = (id(eval_mask), id(pool_new), id(aabb))
+        mkey = (id(eval_mask), id(pool_new), id(pool_pre), id(aabb))
         if mkey not in _tm_cache:
             g, _ = current_group()
             ok = g == 1 or render_ops.occupancy_stride_safe(
@@ -543,9 +573,7 @@ def reconstruction(
             )
             m = None
             if ok:
-                m = eval_mask
-                if pool_new is not None and len(pool_new[0]) > 0:
-                    m = tf.stamp_alpha_mask(m, pool_new[0], pool_new[2])
+                m = stamped_train_mask(eval_mask, pool_new, pool_pre)
             _tm_cache.clear()
             _tm_cache[mkey] = m
         return _tm_cache[mkey]
