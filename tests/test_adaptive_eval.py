@@ -172,3 +172,41 @@ def test_transparent_fields_escalate_to_accuracy(ds):
     assert out.rgb.shape == (rays.shape[0], 3)
     assert out.weights.shape[0] == rays.shape[0]
     assert np.isfinite(np.asarray(out.depth)).all()
+
+
+def test_probe_rung_memoized_per_field_identity(monkeypatch):
+    """A multi-view eval probes once per (field, mask, ladder) identity:
+    the second render_chunked_adaptive call with the same objects must
+    not re-run the probe's flagged renders (the cached rung is a hint
+    only — accuracy still comes from the per-chunk acc-gate flags)."""
+    cfg, params, mask, n_s = _field(25.0)
+    rays = _rays()
+    Rd._ADAPTIVE_PROBE_CACHE.clear()
+    calls = {"n": 0}
+    orig = Rd.render_rays_compact_flagged
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(Rd, "render_rays_compact_flagged", counting)
+    out1, ks1 = Rd.render_chunked_adaptive(
+        cfg, params, AABB, rays, mask, n_samples=n_s, chunk=16,
+        app_k=16, k_ladder=(8, 16, 32),
+    )
+    n_first = calls["n"]
+    assert n_first > 0  # probe + flagged chunks ran
+    assert len(Rd._ADAPTIVE_PROBE_CACHE) == 1
+    out2, ks2 = Rd.render_chunked_adaptive(
+        cfg, params, AABB, rays, mask, n_samples=n_s, chunk=16,
+        app_k=16, k_ladder=(8, 16, 32),
+    )
+    # second call: the probe's ladder climb is skipped (chunk flags still
+    # run — they are the correctness mechanism)
+    n_chunks = -(-rays.shape[0] // 16)
+    assert calls["n"] - n_first <= n_chunks
+    assert ks2 == ks1
+    np.testing.assert_allclose(
+        np.asarray(out2.rgb), np.asarray(out1.rgb), atol=1e-6
+    )
+    Rd._ADAPTIVE_PROBE_CACHE.clear()

@@ -396,6 +396,12 @@ def last_k_live(live, k: int, impl: str = "sort"):
 #: at most len(buckets) jit specializations of the render exist per config
 ADAPTIVE_K_BUCKETS = (16, 32, 48, 64, 96, 128)
 
+#: per-(field, mask, ladder) memo of the adaptive probe's starting rung
+#: (render_chunked_adaptive) — identity-keyed like the trainer's stamped
+#: mask memo; bounded, hint-only (a stale hit costs at most an extra
+#: escalation round or a wider-than-needed K, never accuracy)
+_ADAPTIVE_PROBE_CACHE: dict = {}
+
 
 def adaptive_compact_k(max_live: int, buckets=ADAPTIVE_K_BUCKETS) -> int:
     """Smallest bucket covering ``max_live`` mask-live samples (the largest
@@ -969,9 +975,21 @@ def render_chunked_adaptive(
     # density — the round-4 fog-field A/B paid every rung below the top,
     # 53.8k vs 134.9k rays/s), ONE strided-subsample chunk spanning the
     # view climbs first and every chunk then starts at the rung it found;
-    # stragglers the subsample missed still escalate via their flags
+    # stragglers the subsample missed still escalate via their flags.
+    # The found rung is memoized per (field, mask, ladder) IDENTITY so a
+    # multi-view evaluation / video render probes once, not per frame —
+    # a different view may see different live-counts, but the cached rung
+    # is still only a starting hint (under-starts escalate via flags,
+    # over-starts just render wider) so identity reuse is sound.
     start = 0
-    if probe and len(parts) > 2:
+    cache_key = (
+        id(params), id(alpha_mask["volume"]), n_samples, tuple(k_ladder),
+        float(acc_tol), int(app_k),
+    )
+    cached = _ADAPTIVE_PROBE_CACHE.get(cache_key)
+    if cached is not None:
+        start = cached
+    elif probe and len(parts) > 2:
         stride_p = max(1, n // chunk)
         probe_rays = rays[::stride_p][:chunk]
         p_pad = chunk - probe_rays.shape[0]
@@ -991,6 +1009,9 @@ def render_chunked_adaptive(
                 break
         else:
             start = len(k_ladder) - 1
+        if len(_ADAPTIVE_PROBE_CACHE) >= 8:
+            _ADAPTIVE_PROBE_CACHE.clear()
+        _ADAPTIVE_PROBE_CACHE[cache_key] = start
 
     k0 = k_ladder[start]
     top0 = start == len(k_ladder) - 1

@@ -35,6 +35,10 @@ def main():
                          "default is 64 once a mask exists; 0 = dense). "
                          "Builds a slab field + pool-5 mask to compact "
                          "against.")
+    ap.add_argument("--cap-band", type=int, default=0,
+                    help="depth-anchored compaction band (round 4; the "
+                         "trainer default is 6) — selection becomes "
+                         "last-K-live capped at depth_gt + band*step")
     args = ap.parse_args()
 
     import jax
@@ -81,10 +85,14 @@ def main():
     kwargs = {}
     if args.compute_dtype != "fp32":
         kwargs["compute_dtype"] = args.compute_dtype
+    # (anchoring requires weights.depth > 0 — the LossWeights default
+    # 0.005 already satisfies it, so the benched program matches the
+    # trainer's)
     step_fn = ts.make_train_step(
         cfg, tx, n_samples=n_samples, app_k=args.app_k,
         density_group=args.group, density_block=args.block,
-        microbatch=args.mb, compact_k=args.compact_k, **kwargs,
+        microbatch=args.mb, compact_k=args.compact_k,
+        depth_cap_band=args.cap_band, **kwargs,
     )
 
     b = args.batch
