@@ -209,6 +209,44 @@ def test_train_step_compact_microbatched_runs():
     assert changed
 
 
+def test_microbatch_compact_specialization():
+    """microbatch_compact only governs the MASKED specialization: with a
+    mask the step is bit-identical to a microbatch=1 build (same trace,
+    same rng stream); without a mask it is bit-identical to a plain
+    microbatch=R dense build."""
+    params, mask = _slab_field_and_mask(pool=5)
+    batch = _batch(n=64, seed=21)
+    key = jax.random.PRNGKey(29)
+    state, tx = ts.make_train_state(params)
+    step_ab = ts.make_train_step(
+        CFG, tx, n_samples=S, app_k=16, white_bg=True,
+        microbatch=4, microbatch_compact=1, compact_k=16,
+    )
+    step_r1 = ts.make_train_step(
+        CFG, tx, n_samples=S, app_k=16, white_bg=True,
+        microbatch=1, compact_k=16,
+    )
+    new_a, m_a = step_ab(state, AABB, batch, key, 1.0, alpha_mask=mask)
+    new_b, m_b = step_r1(state, AABB, batch, key, 1.0, alpha_mask=mask)
+    assert float(m_a["mse"]) == float(m_b["mse"])
+    for x, y in zip(
+        jax.tree.leaves(new_a.params), jax.tree.leaves(new_b.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    step_r4 = ts.make_train_step(
+        CFG, tx, n_samples=S, app_k=16, white_bg=True,
+        microbatch=4, compact_k=16,
+    )
+    new_c, m_c = step_ab(state, AABB, batch, key, 1.0)
+    new_d, m_d = step_r4(state, AABB, batch, key, 1.0)
+    assert float(m_c["mse"]) == float(m_d["mse"])
+    for x, y in zip(
+        jax.tree.leaves(new_c.params), jax.tree.leaves(new_d.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_train_step_dense_ignores_mask_when_disabled():
     """compact_k=0 steps must ignore a passed mask (dense path)."""
     params = _params(seed=4)

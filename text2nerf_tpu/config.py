@@ -184,6 +184,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--train_microbatch", type=int, default=32,
                    help="TPU-native: gradient micro-batch count inside the "
                    "jitted train step (PERF.md)")
+    p.add_argument("--train_microbatch_compact", type=int, default=1,
+                   help="TPU-native: micro-batch count for the COMPACTED "
+                   "step specialization (mask present) — compaction "
+                   "shrinks temps ~4x, so R=1 is fastest at the "
+                   "production config (PERF.md round 4); 0 = use "
+                   "--train_microbatch")
     p.add_argument("--train_compute_dtype", type=str, default="fp32",
                    choices=("fp32", "bf16"),
                    help="feature gather/lerp dtype in the train step "
@@ -266,6 +272,7 @@ def to_configs(args):
         train_compact_k=args.train_compact_k,
         train_depth_cap_band=args.train_depth_cap_band,
         train_microbatch=args.train_microbatch,
+        train_microbatch_compact=args.train_microbatch_compact,
         train_compute_dtype=args.train_compute_dtype,
         resume_every_epochs=args.resume_every_epochs,
         seed=args.seed, model=model,

@@ -112,6 +112,7 @@ def make_train_step(
     density_group: int = 1,
     density_block: int = 4,
     microbatch: int = 1,
+    microbatch_compact: int | None = None,
     compute_dtype: str = "fp32",
     compact_k: int = 0,
     depth_cap_band: int = 0,
@@ -164,6 +165,15 @@ def make_train_step(
     sub-batch, so the random stream differs from microbatch=1 (same
     distribution).  With depth_loss_type='ssi' the scale/shift fit happens
     per sub-batch.
+
+    ``microbatch_compact`` (default: same as ``microbatch``) is the R used
+    when the step actually runs COMPACTED (mask present): compaction
+    shrinks per-iteration temps ~4× (k=64 vs 259 samples), so the R tuned
+    for the dense regime wastes time rebuilding packed tables per
+    sub-batch — measured round 4 at the production config, the compacted
+    step runs R=1 at 247.7 ms vs R=32's 456.4 (tools/bench_train_step.py
+    --mb-sweep).  jit already specializes per alpha_mask None-ness, so
+    the selection is trace-time.
     """
     assert depth_loss_type in ("mse", "ssi", "silog"), depth_loss_type
     compact = compact_k > 0 and not ndc
@@ -281,9 +291,14 @@ def make_train_step(
               alpha_mask=None, lr_decay=jnp.float32(1.0)):
         tv_decay = tv_decay if has_tv_decay else None
         # shapes are static per-compile: clamp to a divisor of the actual
-        # batch (ray pools smaller than batch_size yield short batches)
+        # batch (ray pools smaller than batch_size yield short batches).
+        # alpha_mask None-ness is a trace-time fact, so the compacted
+        # specialization can carry its own (smaller) R
         b = jax.tree.leaves(batch)[0].shape[0]
-        r = effective_microbatch(b, microbatch)
+        mb = microbatch
+        if compact and alpha_mask is not None and microbatch_compact:
+            mb = microbatch_compact
+        r = effective_microbatch(b, mb)
         if r == 1:
             (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params, aabb, batch, rng, state.step, tv_decay, alpha_mask

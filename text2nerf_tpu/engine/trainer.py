@@ -93,6 +93,13 @@ class TrainConfig:
     # temp memory; gradient equals the full batch up to fp reassociation.
     # The effective value is clamped to the largest divisor of batch_size.
     train_microbatch: int = 32
+    # R for the COMPACTED specialization of the step (mask present):
+    # compaction shrinks per-iter temps ~4×, and the dense-tuned R=32
+    # wastes time rebuilding the packed tables per sub-batch — the
+    # round-4 mb sweep at the production config measured the compacted
+    # step at R=1: 247.7 ms vs R=32: 456.4 ms (tools/bench_train_step.py
+    # --mb-sweep; PERF.md).  0/None falls back to train_microbatch.
+    train_microbatch_compact: int = 1
     # TPU-native extension: grouped density gathers — G ray-consecutive
     # samples share one gathered (fwd) / scattered (bwd) table row.  The
     # round-3 weighted-contraction extraction made G=2 the fastest train
@@ -292,6 +299,13 @@ def _step_kwargs(
         runtime_decay=True, lr_init=cfg.lr_init, lr_basis=cfg.lr_basis,
         microbatch=ts.effective_microbatch(
             cfg.batch_size, cfg.train_microbatch
+        ),
+        microbatch_compact=(
+            ts.effective_microbatch(
+                cfg.batch_size, cfg.train_microbatch_compact
+            )
+            if cfg.train_microbatch_compact
+            else None
         ),
     )
 

@@ -39,6 +39,10 @@ def main():
                     help="depth-anchored compaction band (round 4; the "
                          "trainer default is 6) — selection becomes "
                          "last-K-live capped at depth_gt + band*step")
+    ap.add_argument("--mb-sweep", default="",
+                    help="comma-separated microbatch counts to sweep in "
+                         "one process (shares the field/mask build; "
+                         "overrides --mb)")
     args = ap.parse_args()
 
     import jax
@@ -85,16 +89,6 @@ def main():
     kwargs = {}
     if args.compute_dtype != "fp32":
         kwargs["compute_dtype"] = args.compute_dtype
-    # (anchoring requires weights.depth > 0 — the LossWeights default
-    # 0.005 already satisfies it, so the benched program matches the
-    # trainer's)
-    step_fn = ts.make_train_step(
-        cfg, tx, n_samples=n_samples, app_k=args.app_k,
-        density_group=args.group, density_block=args.block,
-        microbatch=args.mb, compact_k=args.compact_k,
-        depth_cap_band=args.cap_band, **kwargs,
-    )
-
     b = args.batch
     rng = np.random.default_rng(0)
 
@@ -110,22 +104,56 @@ def main():
             ),
         }
 
-    batches = [make_batch(i) for i in range(args.steps + 1)]
-    key = jax.random.PRNGKey(0)
+    mbs = (
+        [int(x) for x in args.mb_sweep.split(",")]
+        if args.mb_sweep
+        else [args.mb]
+    )
+    results = {}
+    for mb in mbs:
+        # (anchoring requires weights.depth > 0 — the LossWeights default
+        # 0.005 already satisfies it, so the benched program matches the
+        # trainer's)
+        step_fn = ts.make_train_step(
+            cfg, tx, n_samples=n_samples, app_k=args.app_k,
+            density_group=args.group, density_block=args.block,
+            microbatch=mb, compact_k=args.compact_k,
+            depth_cap_band=args.cap_band, **kwargs,
+        )
+        # each sweep point restarts from the SAME initial state so every
+        # R sees identical parameter magnitudes (fresh unique batches per
+        # point — the tunnel dedupes repeat input buffers)
+        st = state
+        batches = [make_batch(i) for i in range(args.steps + 1)]
+        key = jax.random.PRNGKey(mb)
 
-    # warm-up / compile on batch outside the timed set
-    t0 = time.time()
-    state, m = step_fn(state, aabb, batches[-1], key, alpha_mask=alpha_mask)
-    print(f"compile+first step: {time.time() - t0:.1f}s  "
-          f"psnr={float(m['psnr']):.2f}")
+        # warm-up / compile on batch outside the timed set
+        t0 = time.time()
+        try:
+            st, m = step_fn(
+                st, aabb, batches[-1], key, alpha_mask=alpha_mask
+            )
+            _ = float(m["mse"])
+        except Exception as e:  # OOM at small R: record and move on
+            print(f"mb={mb} FAILED: {type(e).__name__}: "
+                  f"{str(e)[:200]}", flush=True)
+            continue
+        print(f"mb={mb} compile+first step: {time.time() - t0:.1f}s  "
+              f"psnr={float(m['psnr']):.2f}", flush=True)
 
-    t0 = time.time()
-    for i in range(args.steps):
-        key, k = jax.random.split(key)
-        state, m = step_fn(state, aabb, batches[i], k, alpha_mask=alpha_mask)
-    _ = float(m["mse"])  # host readback forces execution
-    dt = (time.time() - t0) / args.steps
-    print(f"ms/step: {dt * 1e3:.1f}")
+        t0 = time.time()
+        for i in range(args.steps):
+            key, k = jax.random.split(key)
+            st, m = step_fn(st, aabb, batches[i], k, alpha_mask=alpha_mask)
+        _ = float(m["mse"])  # host readback forces execution
+        dt = (time.time() - t0) / args.steps
+        results[mb] = dt * 1e3
+        print(f"mb={mb} ms/step: {dt * 1e3:.1f}", flush=True)
+    if len(results) > 1:
+        best = min(results, key=results.get)
+        print("sweep: " + "  ".join(
+            f"R={k}:{v:.1f}ms" for k, v in sorted(results.items())
+        ) + f"  best=R={best}")
 
 
 if __name__ == "__main__":
