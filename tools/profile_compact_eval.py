@@ -45,6 +45,12 @@ def _time_call(fn, args_stream, n=6, warmup=2):
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--chunk", type=int, default=16384)
+    p.add_argument("--chunks", type=int, nargs="*", default=(),
+                   help="additional chunk sizes to sweep for the render-"
+                        "cost section (one seed fit serves all): the "
+                        "per-chunk cost has a K-independent floor that "
+                        "is partly DISPATCH latency through the tunnel, "
+                        "so larger chunks amortize it")
     p.add_argument("--ks", type=int, nargs="*",
                    default=(16, 32, 48, 64, 96, 128))
     p.add_argument("--selects", nargs="*", default=(),
@@ -94,17 +100,17 @@ def main(argv=None):
     # per-draw origin perturbation so no two dispatches share buffers
     rng = np.random.default_rng(0)
 
-    def chunk_stream():
+    def chunk_stream(chunk):
         while True:
             for v in views:
-                for s in range(0, v.shape[0], args.chunk):
-                    c = v[s : s + args.chunk].copy()
-                    if c.shape[0] < args.chunk:
+                for s in range(0, v.shape[0], chunk):
+                    c = v[s : s + chunk].copy()
+                    if c.shape[0] < chunk:
                         continue
                     c[:, :3] += rng.normal(0, 1e-4, (c.shape[0], 3))
                     yield jnp.asarray(c)
 
-    stream = chunk_stream()
+    stream = chunk_stream(args.chunk)
     report = {"mask_occupancy": round(occupancy, 4), "chunk": args.chunk,
               "n_samples": int(n_samples)}
 
@@ -144,23 +150,30 @@ def main(argv=None):
         ).max()
         report["count_pass_ms"] = round(_time_call(count_fn, stream), 2)
 
-    # --- render cost vs compact_k (x select lowering) --------------------
-    for sel in (args.selects or (None,)):
-        ms_by_k = {}
-        for k in args.ks:
-            if k > n_samples:
-                continue
-            fn = lambda c, _k=k, _s=sel: Rd.render_rays_compact(  # noqa: E731
-                mcfg, params, aabb, c, alpha_mask,
-                n_samples=int(n_samples), compact_k=_k, app_k=_k,
-                white_bg=True, select_impl=_s,
-            ).rgb
-            ms_by_k[k] = round(_time_call(fn, stream), 2)
-        tag = f"render_ms_by_k_{sel}" if sel else "render_ms_by_k"
-        report[tag] = ms_by_k
-        report[tag.replace("render_ms", "rays_per_s")] = {
-            k: round(args.chunk / ms * 1e3, 1) for k, ms in ms_by_k.items()
-        }
+    # --- render cost vs compact_k (x select lowering x chunk) -------------
+    for chunk in [args.chunk, *args.chunks]:
+        stream_c = stream if chunk == args.chunk else chunk_stream(chunk)
+        # extra chunks measure the dispatch-amortization question only —
+        # the select-lowering cross product stays at the base chunk
+        sels = (args.selects or (None,)) if chunk == args.chunk else (None,)
+        for sel in sels:
+            ms_by_k = {}
+            for k in args.ks:
+                if k > n_samples:
+                    continue
+                fn = lambda c, _k=k, _s=sel: Rd.render_rays_compact(  # noqa: E731
+                    mcfg, params, aabb, c, alpha_mask,
+                    n_samples=int(n_samples), compact_k=_k, app_k=_k,
+                    white_bg=True, select_impl=_s,
+                ).rgb
+                ms_by_k[k] = round(_time_call(fn, stream_c), 2)
+            tag = f"render_ms_by_k_{sel}" if sel else "render_ms_by_k"
+            if chunk != args.chunk:
+                tag += f"_chunk{chunk}"
+            report[tag] = ms_by_k
+            report[tag.replace("render_ms", "rays_per_s")] = {
+                k: round(chunk / ms * 1e3, 1) for k, ms in ms_by_k.items()
+            }
 
     line = json.dumps(report)
     print(line, flush=True)
