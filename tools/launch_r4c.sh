@@ -1,0 +1,20 @@
+#!/bin/sh
+# r4c full-schedule A/B (PERF.md round-4 root-cause section): the r4b
+# config (c2f 150->300^3, 22/22/10, 512^2, stage3 tail_deficit gamma=2)
+# with the two last-view fixes ON (trainer defaults since commits
+# b6a860b + a31b8de: train_depth_cap_band=6 depth-anchored compaction
+# window, replay-pool mask stamping).  Out dir is PERSISTENT
+# (/root/repo/.runs, gitignored) so a later session can resume after a
+# VM recycle: re-running this script resumes from the last checkpoint.
+cd /root/repo || exit 1
+for i in $(seq 1 30); do
+    python tools/run_full_schedule.py \
+        --out /root/repo/.runs/fullsched_r4c \
+        --grid_init 150 --upsamp 1500 3000 4500 6500 \
+        --stages 22 22 10 \
+        --stage3_balance tail_deficit --stage3_gamma 2 \
+        --report /root/repo/.runs/fullsched_r4c.report.jsonl \
+        && break
+    echo "attempt $i failed; resuming in 120 s" >&2
+    sleep 120
+done
