@@ -1,0 +1,36 @@
+#!/bin/sh
+# Ordered unattended chip work (round 4).  Run whenever the axon tunnel
+# is alive (the /tmp/tpu_gate.sh watcher execs this when a probe
+# dispatch succeeds).  Each stage is idempotent: completed stages are
+# skipped on re-entry, results land in tracked reports/ and are
+# committed so an unattended completion survives VM recycles.
+cd /root/repo || exit 1
+mkdir -p reports
+
+# 1) bench.py adaptive-headline validation (queued since the round-4
+#    rewrite: 30-epoch fit + acc-gated ladder has only run under CPU
+#    tests).  The JSON line in the log marks completion.
+if ! grep -hq '"metric"' reports/bench_r4_validation.log 2>/dev/null; then
+    echo "=== chip_queue: bench validation $(date -u +%FT%TZ)" \
+        >> reports/bench_r4_validation.log
+    timeout 2700 python bench.py >> reports/bench_r4_validation.log 2>&1
+    git add reports/bench_r4_validation.log
+    git commit -q -m "bench.py adaptive-headline TPU validation log" || true
+fi
+
+# 2) the r4c full-schedule A/B (resumable; launch_r4c.sh auto-commits
+#    its summary to reports/fullsched_r4c.jsonl on completion)
+if [ ! -s reports/fullsched_r4c.jsonl ]; then
+    sh tools/launch_r4c.sh
+fi
+
+# 3) select-lowering sweep (PERF.md promise: sort|topk|rank first_k_live
+#    lowerings at the production chunk)
+if [ ! -s reports/select_sweep_r4.jsonl ]; then
+    timeout 2700 python tools/profile_compact_eval.py \
+        --selects sort topk rank --skip_counts \
+        --report reports/select_sweep_r4.jsonl \
+        > reports/select_sweep_r4.stdout 2>&1
+    git add reports/select_sweep_r4.jsonl reports/select_sweep_r4.stdout
+    git commit -q -m "select-lowering sweep numbers (first_k_live sort/topk/rank)" || true
+fi
