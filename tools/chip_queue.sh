@@ -34,3 +34,15 @@ if [ ! -s reports/select_sweep_r4.jsonl ]; then
     git add reports/select_sweep_r4.jsonl reports/select_sweep_r4.stdout
     git commit -q -m "select-lowering sweep numbers (first_k_live sort/topk/rank)" || true
 fi
+
+# 4) chunk-size sweep: the per-chunk cost has a K-independent floor
+#    partly made of dispatch latency through the tunnel; if 32k/64k
+#    chunks amortize it, bench.py's headline chunk should be retuned
+if [ ! -s reports/chunk_sweep_r4.jsonl ]; then
+    timeout 2700 python tools/profile_compact_eval.py \
+        --chunks 32768 65536 --ks 16 32 64 --skip_counts \
+        --report reports/chunk_sweep_r4.jsonl \
+        > reports/chunk_sweep_r4.stdout 2>&1
+    git add reports/chunk_sweep_r4.jsonl reports/chunk_sweep_r4.stdout
+    git commit -q -m "chunk-size sweep at eval compact-K (dispatch-floor amortization)" || true
+fi
