@@ -23,6 +23,18 @@ fi
 if [ ! -s reports/fullsched_r4c.jsonl ]; then
     sh tools/launch_r4c.sh
 fi
+# 2b) r4c evidence: per-milestone step rates + phase shares (the
+#     bootstrap_support_pool sub-timers land here — ROADMAP perf #2)
+if [ -s reports/fullsched_r4c.jsonl ] && [ ! -s reports/fullsched_r4c_analysis.txt ]; then
+    {
+        env PALLAS_AXON_POOL_IPS= python tools/analyze_schedule_run.py \
+            /root/repo/.runs/fullsched_r4c/log
+        env PALLAS_AXON_POOL_IPS= python tools/report_phases.py \
+            /root/repo/.runs/fullsched_r4c/log
+    } > reports/fullsched_r4c_analysis.txt 2>&1
+    git add reports/fullsched_r4c_analysis.txt
+    git commit -q -m "r4c run analysis: step rates + phase shares (incl. support-pool sub-timers)" || true
+fi
 
 # 3) select-lowering sweep (PERF.md promise: sort|topk|rank first_k_live
 #    lowerings at the production chunk)
