@@ -316,6 +316,40 @@ def bootstrap_scene(
     return state
 
 
+def supervised_z_floor(
+    scene: SceneState, margin: float = 0.1, ceiling: float = 2.0,
+    floor: float = 0.05,
+) -> float:
+    """Scene-aware eval-time world-z cull threshold.
+
+    The reference culls samples with world z <= 2 at eval ("Eckert"
+    filter, tensorBase.py:458-462) to hide unsupervised near-camera
+    floaters.  Scene-generation trajectories can place SUPERVISED content
+    below z = 2 — the r4c run's view 3 held 24.6% of its GT depth there
+    and the constant cull erased it (9.1 dB eval on a 36.8 dB field;
+    reports/diag_zmin_probe_r4c.json).  This returns the tightest cull
+    that keeps every generated view's GT-depth geometry:
+    min(ceiling, min-over-views world z of GT-depth points - margin),
+    clamped to ``floor`` so the cull never fully disappears.
+
+    Probe on the r4c checkpoint (tools/diag_view_collapse.py --zmins):
+    at the scene floor 1.1 every view matches or beats the constant cull
+    (39.7/37.4/37.0/36.9 vs 39.8/37.4/36.9/9.1 at compact K=64) — the
+    floaters the filter exists for sit closer than the supervised
+    content, so the scene-aware cull still hides them.
+    """
+    n_views = int(np.asarray(scene.rgbs_gen_split).shape[0])
+    z_min = float("inf")
+    for v in range(n_views):
+        rays = np.asarray(scene.rays_gen_split[v], np.float32)
+        d = np.asarray(scene.depth_gen_split[v], np.float32).reshape(-1)
+        z = rays[:, 2] + rays[:, 5] * d
+        z_min = min(z_min, float(z.min()))
+    if not np.isfinite(z_min):
+        return ceiling
+    return max(floor, min(ceiling, z_min - margin))
+
+
 def save_scene_snapshot(path: str, scene: SceneState):
     """Persist the resumable part of the scene: generated view splits,
     masks, poses.  Ray pools are derived data (support warps are

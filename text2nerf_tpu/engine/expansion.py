@@ -241,6 +241,7 @@ def expand_scene(
     seed: int = 0,
     alpha_mask=None,
     compact_k: int = 0,
+    eval_z_min: float = 2.0,
     log=None,
 ) -> ss.SceneState:
     """Complete view ``view_idx`` of the trajectory and update the scene.
@@ -278,7 +279,7 @@ def expand_scene(
                     jnp.asarray(scene.rays_gen_split[n]),
                     n_samples=n_samples, chunk=ex.chunk, app_k=ex.app_k,
                     white_bg=white_bg, alpha_mask=alpha_mask,
-                    compact_k=compact_k,
+                    compact_k=compact_k, eval_z_min=eval_z_min,
                 )
                 # keep only rgb+depth: holding every view's full
                 # RenderOutput would pin the (H*W, K) weights/z_vals
@@ -357,6 +358,7 @@ def expand_scene(
             jnp.asarray(scene.rays_gen_split[view_idx]),
             n_samples=n_samples, chunk=ex.chunk, app_k=ex.app_k,
             white_bg=white_bg, alpha_mask=alpha_mask, compact_k=compact_k,
+            eval_z_min=eval_z_min,
         )
         rgb_render = np.asarray(jnp.clip(out.rgb, 0, 1)).reshape(h, w, 3)
         depth_rendered = np.asarray(out.depth).reshape(h, w) * my_map_f

@@ -68,19 +68,23 @@ def write_video(path: str, frames, fps: int = 30, quality: int = 9):
 def render_view(
     cfg, params, aabb, rays, hw, *, n_samples, chunk=16384, app_k=64,
     white_bg=True, ndc=False, alpha_mask=None, compact_k=0,
-    feature_dtype="fp32",
+    eval_z_min=2.0, feature_dtype="fp32",
 ):
     """Render one view; returns (rgb (H,W,3), depth (H,W)) numpy arrays.
 
     ``feature_dtype`` defaults to fp32 here (unlike render_chunked's bf16
     perf default): view renders feed PSNR/SSIM metrics and saved
     artifacts, which should be bit-comparable with the dense path
-    (ADVICE r2); pass 'bf16' to opt into the faster feature math."""
+    (ADVICE r2); pass 'bf16' to opt into the faster feature math.
+    ``eval_z_min``: the floater cull — pass the scene-aware floor
+    (scene_state.supervised_z_floor) when the scene has content below
+    the reference's constant 2.0 (see render_chunked)."""
     h, w = hw
     out = render_ops.render_chunked(
         cfg, params, aabb, jnp.asarray(rays), n_samples=n_samples, chunk=chunk,
         app_k=app_k, white_bg=white_bg, ndc=ndc, alpha_mask=alpha_mask,
-        compact_k=compact_k, feature_dtype=feature_dtype,
+        compact_k=compact_k, eval_z_min=eval_z_min,
+        feature_dtype=feature_dtype,
     )
     rgb = np.asarray(jnp.clip(out.rgb, 0.0, 1.0)).reshape(h, w, 3)
     depth = np.asarray(out.depth).reshape(h, w)
@@ -109,6 +113,7 @@ def evaluation(
     lpips_weights_dir=None,
     alpha_mask=None,
     compact_k: int = 0,
+    eval_z_min: float = 2.0,
     n_vis: int = -1,
     feature_dtype: str = "fp32",
 ):
@@ -141,7 +146,8 @@ def evaluation(
             cfg, params, aabb, jnp.asarray(rays_split[idx]),
             n_samples=n_samples, chunk=chunk, app_k=app_k,
             white_bg=white_bg, ndc=ndc, alpha_mask=alpha_mask,
-            compact_k=compact_k, feature_dtype=feature_dtype,
+            compact_k=compact_k, eval_z_min=eval_z_min,
+            feature_dtype=feature_dtype,
         )
         rgb = np.asarray(jnp.clip(out.rgb, 0.0, 1.0)).reshape(hw[0], hw[1], 3)
         depth = np.asarray(out.depth).reshape(hw[0], hw[1])
@@ -189,7 +195,7 @@ def evaluation_path(
     cfg, params, aabb, c2ws, hw, intrinsic, *, n_samples, save_path=None,
     chunk: int = 8192, app_k: int = 64, white_bg: bool = False, ndc: bool = False,
     near_far=(0.5, 8.0), alpha_mask=None, compact_k: int = 0,
-    feature_dtype: str = "fp32",
+    eval_z_min: float = 2.0, feature_dtype: str = "fp32",
 ):
     """Render along a camera path, regenerating rays per pose
     (evaluation_path, renderer.py:142-197).  A checkpoint-loaded model in
@@ -207,7 +213,7 @@ def evaluation_path(
             cfg, params, aabb, rays, hw, n_samples=n_samples, chunk=chunk,
             app_k=app_k, white_bg=white_bg, ndc=ndc,
             alpha_mask=alpha_mask, compact_k=compact_k,
-            feature_dtype=feature_dtype,
+            eval_z_min=eval_z_min, feature_dtype=feature_dtype,
         )
         depth_vis, _ = M.visualize_depth(depth, near_far)
         rgb_maps.append((rgb * 255).astype(np.uint8))

@@ -600,6 +600,19 @@ def reconstruction(
         (update_AlphaMask_list=[], so its tensorf.alphaMask stays None)."""
         return eval_mask if cfg.eval_compact_k != 0 else None
 
+    _zf_cache: dict = {}
+
+    def eval_z_floor():
+        """Scene-aware eval z-cull (supervised_z_floor): the reference's
+        constant 2.0 erases supervised content the trajectory placed
+        below world z = 2 (r4c view 3: 9.1 dB on a 36.8 dB field —
+        reports/diag_zmin_probe_r4c.json).  Recomputed when the scene
+        grows (each appended view can lower the floor)."""
+        k = scene.rgbs_gen_split.shape[0]
+        if k not in _zf_cache:
+            _zf_cache[k] = ss.supervised_z_floor(scene)
+        return _zf_cache[k]
+
     # runtime_decay: the LR schedule lives in a per-step scalar (lr_decay,
     # tracked like tv_decay) instead of a compiled constant — ONE train-step
     # executable serves every stage reset, resume, and the bootstrap-time
@@ -812,6 +825,7 @@ def reconstruction(
                     n_samples=n_samples, white_bg=white_bg, seed=cfg.seed + view_idx,
                     alpha_mask=render_mask(),
                     compact_k=cfg.eval_compact_k,
+                    eval_z_min=eval_z_floor(),
                     log=log,
                 )
             # replay pool = all previous views' pools (text2nerf_main.py:509-517)
@@ -996,6 +1010,7 @@ def reconstruction(
                 push_depth=scene_cfg.push_depth, near_far=scene.near_far,
                 alpha_mask=render_mask(),
                 compact_k=cfg.eval_compact_k if eval_mask is not None else 0,
+                eval_z_min=eval_z_floor(),
                 n_vis=cfg.n_vis,
             )
         if boundary and scene.rgbs_gen_split.shape[0] > 0:
@@ -1010,6 +1025,7 @@ def reconstruction(
                 push_depth=scene_cfg.push_depth, near_far=scene.near_far,
                 alpha_mask=render_mask(),
                 compact_k=cfg.eval_compact_k if eval_mask is not None else 0,
+                eval_z_min=eval_z_floor(),
                 n_vis=cfg.n_vis,
             )
             if res["psnr"]:
@@ -1067,7 +1083,7 @@ def reconstruction(
             ndc=cfg.ndc_ray, video=True,
             push_depth=scene_cfg.push_depth, near_far=scene.near_far,
             alpha_mask=render_mask(), compact_k=final_compact_k,
-            n_vis=cfg.n_vis,
+            eval_z_min=eval_z_floor(), n_vis=cfg.n_vis,
         )
 
     if cfg.render_test or cfg.render_path:
@@ -1084,7 +1100,7 @@ def reconstruction(
                 ndc=cfg.ndc_ray, video=True,
                 push_depth=scene_cfg.push_depth, near_far=scene.near_far,
                 alpha_mask=render_mask(), compact_k=final_compact_k,
-                n_vis=cfg.n_vis,
+                eval_z_min=eval_z_floor(), n_vis=cfg.n_vis,
             )
         if cfg.render_path:
             eval_renderer.evaluation_path(
@@ -1093,6 +1109,7 @@ def reconstruction(
                 save_path=os.path.join(logfolder, "imgs_path_all"),
                 white_bg=white_bg, ndc=cfg.ndc_ray, near_far=scene.near_far,
                 alpha_mask=render_mask(), compact_k=final_compact_k,
+                eval_z_min=eval_z_floor(),
             )
 
     # drain THIS scene's asynchronous DIBR artifact writes before handing
@@ -1114,6 +1131,15 @@ def render_test(cfg: TrainConfig, scene_cfg: ss.SceneConfig):
     reso = tf.grid_resolution(mcfg, params)
     n_samples = tf.default_n_samples(reso, mcfg.step_ratio, cfg.n_samples_cap)
     logfolder = os.path.dirname(cfg.ckpt)
+    # scene-aware eval z-cull: the trained scene's supervised floor (the
+    # constant 2.0 erases supervised content below world z = 2 — see
+    # supervised_z_floor); falls back to the reference constant when no
+    # snapshot sits next to the checkpoint
+    z_floor = 2.0
+    snap = os.path.join(logfolder, "scene_snapshot.npz")
+    if os.path.exists(snap):
+        z_floor = ss.supervised_z_floor(
+            ss.load_scene_snapshot(snap, n_views_pools=0))
     out = {}
     if cfg.render_test:
         out["test"] = eval_renderer.evaluation(
@@ -1123,7 +1149,7 @@ def render_test(cfg: TrainConfig, scene_cfg: ss.SceneConfig):
             chunk=cfg.batch_size, app_k=cfg.app_k, white_bg=scene.white_bg,
             ndc=cfg.ndc_ray, video=True, push_depth=scene_cfg.push_depth,
             near_far=scene.near_far,
-            alpha_mask=alpha_mask, compact_k=compact_k,
+            alpha_mask=alpha_mask, compact_k=compact_k, eval_z_min=z_floor,
             n_vis=cfg.n_vis,
         )
     if cfg.render_path:
@@ -1132,6 +1158,6 @@ def render_test(cfg: TrainConfig, scene_cfg: ss.SceneConfig):
             n_samples=n_samples,
             save_path=os.path.join(logfolder, "imgs_path_all"),
             white_bg=scene.white_bg, ndc=cfg.ndc_ray, near_far=scene.near_far,
-            alpha_mask=alpha_mask, compact_k=compact_k,
+            alpha_mask=alpha_mask, compact_k=compact_k, eval_z_min=z_floor,
         )
     return out

@@ -934,6 +934,7 @@ def render_chunked_adaptive(
     chunk: int = 16384,
     app_k: int = 64,
     white_bg: bool = True,
+    eval_z_min: float = 2.0,
     k_ladder=ADAPTIVE_EVAL_LADDER,
     acc_tol: float = 1e-3,
     feature_dtype: str = "bf16",
@@ -984,7 +985,7 @@ def render_chunked_adaptive(
     start = 0
     cache_key = (
         id(params), id(alpha_mask["volume"]), n_samples, tuple(k_ladder),
-        float(acc_tol), int(app_k),
+        float(acc_tol), int(app_k), float(eval_z_min),
     )
     cached = _ADAPTIVE_PROBE_CACHE.get(cache_key)
     if cached is not None:
@@ -1001,7 +1002,7 @@ def render_chunked_adaptive(
             _, p_bad = render_rays_compact_flagged(
                 cfg, params, aabb, probe_rays, alpha_mask,
                 n_samples=n_samples, compact_k=k, app_k=min(app_k, k),
-                white_bg=white_bg, acc_tol=acc_tol,
+                white_bg=white_bg, eval_z_min=eval_z_min, acc_tol=acc_tol,
                 feature_dtype=feature_dtype,
             )
             if int(p_bad) == 0:
@@ -1021,13 +1022,14 @@ def render_chunked_adaptive(
             out, bad = render_rays_compact(
                 cfg, params, aabb, part, alpha_mask, n_samples=n_samples,
                 compact_k=k0, app_k=min(app_k, k0), white_bg=white_bg,
-                feature_dtype=feature_dtype,
+                eval_z_min=eval_z_min, feature_dtype=feature_dtype,
             ), None
         else:
             out, bad = render_rays_compact_flagged(
                 cfg, params, aabb, part, alpha_mask, n_samples=n_samples,
                 compact_k=k0, app_k=min(app_k, k0), white_bg=white_bg,
-                acc_tol=acc_tol, feature_dtype=feature_dtype,
+                eval_z_min=eval_z_min, acc_tol=acc_tol,
+                feature_dtype=feature_dtype,
             )
         outs.append(out)
         flags.append(bad)
@@ -1049,13 +1051,14 @@ def render_chunked_adaptive(
                 outs[i] = render_rays_compact(
                     cfg, params, aabb, parts[i][0], alpha_mask,
                     n_samples=n_samples, compact_k=k, app_k=min(app_k, k),
-                    white_bg=white_bg, feature_dtype=feature_dtype,
+                    white_bg=white_bg, eval_z_min=eval_z_min,
+                    feature_dtype=feature_dtype,
                 )
             else:
                 outs[i], flags[i] = render_rays_compact_flagged(
                     cfg, params, aabb, parts[i][0], alpha_mask,
                     n_samples=n_samples, compact_k=k, app_k=min(app_k, k),
-                    white_bg=white_bg, acc_tol=acc_tol,
+                    white_bg=white_bg, eval_z_min=eval_z_min, acc_tol=acc_tol,
                     feature_dtype=feature_dtype,
                 )
 
@@ -1093,6 +1096,7 @@ def render_chunked(
     ndc: bool = False,
     alpha_mask=None,
     compact_k: int = 0,
+    eval_z_min: float = 2.0,
     feature_dtype: str = "bf16",
 ):
     """Host-side chunked renderer over an arbitrary ray count.
@@ -1104,12 +1108,20 @@ def render_chunked(
     acc-gated adaptive-K ladder (render_chunked_adaptive) — never less
     accurate than the top rung, and trained/opaque scenes render mostly
     at the bottom one.
+
+    ``eval_z_min`` is the reference's eval-time world-z floater cull
+    (tensorBase.py:458-462, fixed at 2.0 there).  Scene-generation
+    trajectories can place SUPERVISED content below world z = 2 (the r4c
+    run's view 3 had 24.6% of its GT there and evaluated at 9.1 dB while
+    the field held it at 36.8 — reports/diag_zmin_probe_r4c.json); the
+    trainer passes the scene-aware floor from
+    data.scene_state.supervised_z_floor instead of the constant.
     """
     if compact_k == -1 and alpha_mask is not None and not ndc:
         out, _ = render_chunked_adaptive(
             cfg, params, aabb, rays, alpha_mask, n_samples=n_samples,
             chunk=chunk, app_k=app_k, white_bg=white_bg,
-            feature_dtype=feature_dtype,
+            eval_z_min=eval_z_min, feature_dtype=feature_dtype,
         )
         return out
     n = rays.shape[0]
@@ -1124,7 +1136,7 @@ def render_chunked(
                 cfg, params, aabb, part, alpha_mask,
                 n_samples=n_samples, compact_k=compact_k,
                 app_k=min(app_k, compact_k), white_bg=white_bg,
-                feature_dtype=feature_dtype,
+                eval_z_min=eval_z_min, feature_dtype=feature_dtype,
             )
         else:
             out = render_rays(
@@ -1138,6 +1150,7 @@ def render_chunked(
                 white_bg=white_bg,
                 ndc=ndc,
                 alpha_mask=alpha_mask,
+                eval_z_min=eval_z_min,
             )
         if pad:
             out = jax.tree.map(lambda x: x[: chunk - pad], out)

@@ -123,15 +123,20 @@ def main(argv=None):
 
     from text2nerf_tpu.engine import renderer as R
     from text2nerf_tpu.models import tensorf as tf
+    from text2nerf_tpu.data import scene_state as ss
 
     # compute_extra_metrics: SSIM on the float renders inside evaluation
-    # (one metric implementation, not a hand-rolled uint8 copy here)
+    # (one metric implementation, not a hand-rolled uint8 copy here).
+    # eval_z_min: the scene-aware floater cull — the constant 2.0 erased
+    # view 3 of the r4c run (9.09 dB on a 36.8 dB field; see
+    # supervised_z_floor + reports/diag_zmin_probe_r4c.json)
     res = R.evaluation(
         mcfg, params, jnp.asarray(aabb), scene.rays_gen_split, scene.hw,
         n_samples=tf.default_n_samples(
             tf.grid_resolution(mcfg, params), mcfg.step_ratio
         ),
         gt_rgbs=scene.rgbs_gen_split, chunk=16384, app_k=48,
+        eval_z_min=ss.supervised_z_floor(scene),
         compute_extra_metrics=True,
     )
     ssims = [float(s) for s in res["ssim"]]
