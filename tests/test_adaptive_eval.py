@@ -174,39 +174,115 @@ def test_transparent_fields_escalate_to_accuracy(ds):
     assert np.isfinite(np.asarray(out.depth)).all()
 
 
-def test_probe_rung_memoized_per_field_identity(monkeypatch):
-    """A multi-view eval probes once per (field, mask, ladder) identity:
-    the second render_chunked_adaptive call with the same objects must
-    not re-run the probe's flagged renders (the cached rung is a hint
-    only — accuracy still comes from the per-chunk acc-gate flags)."""
-    cfg, params, mask, n_s = _field(25.0)
+def test_trained_opaque_field_stays_at_bottom_rung():
+    """VERDICT r5 item 6: a field FIT by gradient descent (not a
+    synthetic density boost) whose surfaces saturate must render through
+    the adaptive path entirely at the bottom rung — rung residency is the
+    production perf story ('trained scenes pay K=16'), so pin it on a
+    trained field: a wall scene fit at production distance_scale."""
+    from text2nerf_tpu.engine import train_step as ts
+
+    cfg = tf.TensoRFConfig(
+        density_n_comp=(4, 4, 4), app_n_comp=(8, 8, 8), app_dim=12,
+        shading_mode="MLP_Fea_noview", fea_pe=2, feature_c=32,
+    )
+    grid = (32, 32, 32)
+    h = w = 24
+    intr = R.default_intrinsics(h, w)
+    dirs = R.ray_directions(h, w, intr[:2], intr[2:])
+    o, d = R.rays_from_pose(jnp.asarray(dirs), jnp.eye(4))
+    rays = jnp.concatenate([o, d], -1)
+    uv = np.asarray(dirs).reshape(-1, 3)[:, :2]
+    rgb = jnp.asarray(np.stack(
+        [0.5 + 0.4 * uv[:, 0], 0.5 + 0.4 * uv[:, 1], 0.3 + 0 * uv[:, 0]],
+        -1).astype(np.float32))
+    batch = {"rays": rays, "rgb": rgb,
+             "depth": jnp.full((h * w,), 4.0, jnp.float32)}
+    params = tf.init_params(jax.random.PRNGKey(0), cfg, grid)
+    state, tx = ts.make_train_state(params, factor=ts.lr_factor(0.1, 400))
+    step = ts.make_train_step(
+        cfg, tx, n_samples=48, app_k=16, white_bg=True,
+        tv_factor=ts.lr_factor(0.1, 400),
+    )
+    key = jax.random.PRNGKey(1)
+    for _ in range(250):
+        key, k = jax.random.split(key)
+        state, metrics = step(state, AABB, batch, k)
+    assert float(metrics["psnr"]) > 22  # the wall actually fit
+    mask, _ = tf.update_alpha_mask(cfg, state.params, AABB, grid, pool=3)
+    # rung residency, per RAY (what the repacking renderer actually
+    # pays), at the PRODUCTION ladder's bottom rung K=16: the trained
+    # wall's dilated mask carries ~13 live samples/ray, so nothing
+    # escalates.  (K=8 measures ~12% escalation on the same field — the
+    # bottom rung must cover a trained surface's dilated-mask crossing,
+    # which is exactly why the shipping ladder starts at 16.)
+    _, need = Rd.render_rays_compact_need(
+        cfg, state.params, AABB, rays, mask, n_samples=48, compact_k=16,
+        app_k=16, k_ladder=(16, 32),
+    )
+    esc_frac = float((np.asarray(need) > 0).mean())
+    assert esc_frac == 0.0, esc_frac
+    Rd._ADAPTIVE_PROBE_CACHE.clear()
+    out, ks = Rd.render_chunked_adaptive(
+        cfg, state.params, AABB, rays, mask, n_samples=48, chunk=128,
+        app_k=16, k_ladder=(16, 32),
+    )
+    # rung residency: every chunk renders once at the bottom rung
+    assert set(ks) == {16}, ks
+    # and the memo keeps the NEXT view's BASE at the bottom (median rung)
+    assert list(Rd._ADAPTIVE_PROBE_CACHE.values()) in ([], [0])
+    # accuracy unchanged vs untruncated
+    full = Rd.render_rays_compact(
+        cfg, state.params, AABB, rays, mask, n_samples=48, compact_k=48,
+        app_k=16, white_bg=True,
+    )
+    assert np.abs(np.asarray(out.rgb) - np.asarray(full.rgb)).max() < 1e-3
+    Rd._ADAPTIVE_PROBE_CACHE.clear()
+
+
+def test_base_rung_memoized_per_field_identity(monkeypatch):
+    """A multi-view eval on a fog-regime field pays escalation once: the
+    first render_chunked_adaptive call stores the median effective rung
+    per (field, mask, ladder) identity, and the next call with the same
+    objects starts AT that rung — no flagged base-rung renders, no
+    repacked re-renders (the memo is a hint only: accuracy still comes
+    from the per-ray acc-gate flags whenever the base is below the
+    top)."""
+    cfg, params, mask, n_s = _field(0.005)  # fog: every ray escalates
     rays = _rays()
     Rd._ADAPTIVE_PROBE_CACHE.clear()
-    calls = {"n": 0}
-    orig = Rd.render_rays_compact_flagged
+    calls = {"need": 0}
+    orig = Rd.render_rays_compact_need
 
     def counting(*a, **kw):
-        calls["n"] += 1
+        calls["need"] += 1
         return orig(*a, **kw)
 
-    monkeypatch.setattr(Rd, "render_rays_compact_flagged", counting)
+    monkeypatch.setattr(Rd, "render_rays_compact_need", counting)
     out1, ks1 = Rd.render_chunked_adaptive(
-        cfg, params, AABB, rays, mask, n_samples=n_s, chunk=16,
+        cfg, params, AABB, rays, mask, n_samples=n_s, chunk=512,
         app_k=16, k_ladder=(8, 16, 32),
     )
-    n_first = calls["n"]
-    assert n_first > 0  # probe + flagged chunks ran
+    n_first = calls["need"]
+    assert n_first > 0  # base-rung flagged renders ran
+    assert max(ks1) > 8  # the fog field escalated
     assert len(Rd._ADAPTIVE_PROBE_CACHE) == 1
+    assert list(Rd._ADAPTIVE_PROBE_CACHE.values())[0] > 0  # median rung up
     out2, ks2 = Rd.render_chunked_adaptive(
-        cfg, params, AABB, rays, mask, n_samples=n_s, chunk=16,
+        cfg, params, AABB, rays, mask, n_samples=n_s, chunk=512,
         app_k=16, k_ladder=(8, 16, 32),
     )
-    # second call: the probe's ladder climb is skipped (chunk flags still
-    # run — they are the correctness mechanism)
-    n_chunks = -(-rays.shape[0] // 16)
-    assert calls["n"] - n_first <= n_chunks
-    assert ks2 == ks1
-    np.testing.assert_allclose(
-        np.asarray(out2.rgb), np.asarray(out1.rgb), atol=1e-6
+    # second call starts at the memoized rung: when that rung is the top,
+    # the flagged kernel is skipped entirely; otherwise at most one
+    # flagged render per chunk remains (and repacking covers stragglers)
+    n_chunks = -(-rays.shape[0] // 512)
+    assert calls["need"] - n_first <= n_chunks
+    # accuracy is identical either way: both calls match the untruncated
+    # render within the gate
+    full = Rd.render_rays_compact(
+        cfg, params, AABB, rays, mask, n_samples=n_s, compact_k=n_s,
+        app_k=16, white_bg=True,
     )
+    for out in (out1, out2):
+        assert np.abs(np.asarray(out.rgb) - np.asarray(full.rgb)).max() < 1e-3
     Rd._ADAPTIVE_PROBE_CACHE.clear()

@@ -78,10 +78,13 @@ class TrainConfig:
     # eval-render compaction: rebuild the alpha-grid mask at each stage
     # boundary after stage 1 and route evaluation / expansion renders
     # through render_rays_compact (tensorBase.py:451-456 culling semantics;
-    # 0 disables; -1 selects the acc-gated adaptive-K ladder, which
-    # escalates K per chunk until no unsaturated ray overflows — never
-    # less accurate than the fixed top rung, render.render_chunked)
-    eval_compact_k: int = 64
+    # 0 disables; a fixed K > 0 truncates rays whose live samples exceed
+    # it).  Default -1: the acc-gated adaptive-K repacking renderer
+    # (render.render_chunked_adaptive) — stage-boundary evals run on
+    # mid-training fields where a fixed K=64 measured 14.7 dB of
+    # truncation (PERF.md round 4), so the accuracy-honest path is the
+    # default and fixed K is the opt-in
+    eval_compact_k: int = -1
     # eval-mask dilation: pool=5 licenses stride-2 occupancy testing
     # (the default); pool=7 licenses stride-3 (+5.5% rays/s on the bench
     # scene, PERF.md) at the cost of a dilated mask — more live samples
@@ -1125,8 +1128,9 @@ def render_test(cfg: TrainConfig, scene_cfg: ss.SceneConfig):
     assert cfg.ckpt and os.path.exists(cfg.ckpt), "checkpoint required"
     mcfg, params, aabb, alpha_mask, _ = ckpt.load_checkpoint(cfg.ckpt)
     # a checkpointed alpha mask routes rendering through the compacted
-    # fast path (PERF.md)
-    compact_k = 64 if alpha_mask is not None else 0
+    # fast path (PERF.md); -1 = the acc-gated adaptive-K renderer, which
+    # never truncates an unsaturated ray below the top rung
+    compact_k = -1 if alpha_mask is not None else 0
     scene = ss.bootstrap_scene(scene_cfg, "test")
     reso = tf.grid_resolution(mcfg, params)
     n_samples = tf.default_n_samples(reso, mcfg.step_ratio, cfg.n_samples_cap)

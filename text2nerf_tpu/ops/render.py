@@ -524,6 +524,34 @@ def _resolve_select_impl(impl: Optional[str]) -> str:
     return impl
 
 
+def render_rays_compact_need(
+    cfg, params, aabb, rays, alpha_mask, *, n_samples, compact_k,
+    app_k, k_ladder, white_bg=True, eval_z_min=2.0, feature_dtype="bf16",
+    acc_tol=1e-3, select_impl=None,
+):
+    """render_rays_compact + a PER-RAY escalation target: for each ray
+    whose mask-live samples overflow ``compact_k`` while its
+    transmittance has not saturated (acc < 1 - acc_tol), the int8 index
+    of the smallest ``k_ladder`` rung covering its live count (0 for
+    rays needing no escalation).  The repacking adaptive renderer
+    (render_chunked_adaptive) reads this back once per view — one
+    byte/ray — and re-renders exactly the flagged rays at exactly the
+    rung they need, instead of re-rendering whole chunks rung by rung."""
+    occ_stride = max(1, (int(alpha_mask.get("pool", 3)) - 1) // 2)
+    if occ_stride > 1 and not occupancy_stride_safe(
+        cfg, params, aabb, alpha_mask, occ_stride
+    ):
+        occ_stride = 1
+    return _render_rays_compact(
+        cfg, params, aabb, rays, _strip_pool(alpha_mask),
+        n_samples=n_samples, compact_k=compact_k, app_k=app_k,
+        white_bg=white_bg, eval_z_min=eval_z_min, occ_stride=occ_stride,
+        feature_dtype=feature_dtype, overflow_tol=float(acc_tol),
+        select_impl=_resolve_select_impl(select_impl),
+        need_ladder=tuple(int(k) for k in k_ladder),
+    )
+
+
 def render_rays_compact_flagged(
     cfg, params, aabb, rays, alpha_mask, *, n_samples, compact_k,
     app_k, white_bg=True, eval_z_min=2.0, feature_dtype="bf16",
@@ -555,6 +583,7 @@ def render_rays_compact_flagged(
     static_argnames=(
         "cfg", "n_samples", "compact_k", "app_k", "white_bg", "eval_z_min",
         "occ_stride", "feature_dtype", "overflow_tol", "select_impl",
+        "need_ladder",
     ),
 )
 def _render_rays_compact(
@@ -573,6 +602,7 @@ def _render_rays_compact(
     feature_dtype: str,
     overflow_tol: Optional[float] = None,
     select_impl: str = "sort",
+    need_ladder: Optional[tuple] = None,
 ) -> RenderOutput:
     fdt = jnp.bfloat16 if feature_dtype == "bf16" else None
     aabb = jnp.asarray(aabb)
@@ -668,13 +698,23 @@ def _render_rays_compact(
     out = RenderOutput(rgb=rgb, depth=depth, z_vals=z_k, weights=weights,
                        acc=acc)
     if overflow_tol is not None:
+        flagged = (n_live > k) & (acc < 1.0 - overflow_tol)
+        if need_ladder is not None:
+            # per-ray escalation target: the smallest ladder rung whose K
+            # covers this ray's live count (clipped to the top rung — rays
+            # beyond it keep the top rung's truncation semantics).  int8:
+            # one byte/ray crosses the host link (render_chunked_adaptive
+            # reads it back once per view to repack flagged rays).
+            ladder = jnp.asarray(need_ladder, jnp.int32)
+            rung = jnp.clip(
+                jnp.searchsorted(ladder, n_live), 0, len(need_ladder) - 1
+            )
+            need = jnp.where(flagged, rung, 0).astype(jnp.int8)
+            return out, need
         # rays whose truncated tail could still matter: more live samples
         # than K AND unsaturated transmittance (see
         # render_rays_compact_flagged)
-        bad = jnp.sum(
-            ((n_live > k) & (acc < 1.0 - overflow_tol)).astype(jnp.int32)
-        )
-        return out, bad
+        return out, jnp.sum(flagged.astype(jnp.int32))
     return out
 
 
@@ -940,146 +980,189 @@ def render_chunked_adaptive(
     feature_dtype: str = "bf16",
     probe: bool = True,
 ):
-    """Chunked eval renderer with per-chunk adaptive compact-K.
+    """Chunked eval renderer with per-RAY adaptive compact-K (repacking).
 
-    Every chunk renders at the smallest ladder rung; a chunk escalates to
-    the next rung only when some ray both OVERFLOWS the rung's K (more
-    mask-live samples than K) and has unsaturated transmittance
-    (acc < 1 - acc_tol) — i.e. its truncated tail could still contribute
-    (render_rays_compact_flagged).  Opaque-surface rays saturate within
-    the first rung and background rays never overflow, so trained scenes
-    render mostly at the bottom rung (the round-4 profile: fixed K=64 was
-    paying for tail samples that contribute nothing).  The flag check
-    syncs ONCE per rung over all chunks (not per chunk), so tunnel
-    latency is paid ≤ len(k_ladder)-1 times per call.  The top rung runs
-    unflagged — its truncation semantics equal render_rays_compact at
-    k_ladder[-1] (≥ the fixed-K default, so never less accurate).  With
-    ``probe`` (default), one strided-subsample chunk climbs the ladder
-    first and all chunks start at the rung it found — a hint only: a
-    chunk the subsample under-represents still escalates via its flag.
+    Accuracy contract (same acc-gate as round 4, tightened): a ray is
+    rendered at a rung whose K covers ALL its mask-live samples — zero
+    truncation — unless (a) it saturated transmittance at the base rung
+    (acc >= 1 - acc_tol: its truncated tail cannot contribute) or (b) its
+    live count exceeds the top rung, in which case it keeps the top
+    rung's truncation semantics (never less accurate than a fixed
+    K=k_ladder[-1] render).
 
-    Returns (RenderOutput, per-chunk K list).
+    Mechanics — built around the two real costs on a tunneled chip,
+    host<->device syncs and re-rendered rays:
+      1. every chunk renders ONCE at the base rung; the same kernel also
+         emits each ray's escalation target (the smallest rung covering
+         its live count, 0 if the acc-gate clears it) as int8 — the
+         live counts and transmittance are already computed in-kernel,
+         so the flags are free;
+      2. ONE host readback per view (1 byte/ray) collects the targets;
+      3. flagged rays — and only those rays — are REPACKED (gathered by
+         index) into padded groups per rung and re-rendered at exactly
+         the K they need, then scattered back.  The round-4 ladder
+         re-rendered whole 16384-ray chunks rung by rung with a sync per
+         rung; on a trained field where ~1% of rays straddle silhouette
+         edges, that re-paid up to the whole view per rung — repacking
+         pays only the flagged rays once (PERF.md round 5).
+
+    The base rung is memoized per (field, mask, ladder, ...) identity:
+    after each view the median per-ray effective rung is stored, so a
+    fog-regime field (every ray escalates — the round-4 53.8k rays/s
+    pathology) starts subsequent views AT the rung it needs and pays no
+    escalation at all, while trained fields keep base = bottom.  The memo
+    is a hint only: any base under-estimate still escalates via the
+    per-ray flags (``probe=False`` disables the memo).
+
+    Returns (RenderOutput, per-chunk list of the max K applied to any ray
+    of that chunk).
     """
-    n = rays.shape[0]
-    parts, ks = [], []
-    for s in range(0, n, chunk):
-        part = rays[s : s + chunk]
-        pad = chunk - part.shape[0]
-        if pad:
-            part = jnp.concatenate([part, jnp.zeros((pad, 6), part.dtype)], 0)
-        parts.append((part, pad))
-
     import numpy as np
 
-    # probe (performance hint only, correctness is the acc-gate's): on a
-    # field where most chunks would climb the whole ladder (unsaturating
-    # density — the round-4 fog-field A/B paid every rung below the top,
-    # 53.8k vs 134.9k rays/s), ONE strided-subsample chunk spanning the
-    # view climbs first and every chunk then starts at the rung it found;
-    # stragglers the subsample missed still escalate via their flags.
-    # The found rung is memoized per (field, mask, ladder) IDENTITY so a
-    # multi-view evaluation / video render probes once, not per frame —
-    # a different view may see different live-counts, but the cached rung
-    # is still only a starting hint (under-starts escalate via flags,
-    # over-starts just render wider) so identity reuse is sound.
-    start = 0
+    n = rays.shape[0]
+    ladder = tuple(int(k) for k in k_ladder)
+    top = len(ladder) - 1
+
     cache_key = (
-        id(params), id(alpha_mask["volume"]), n_samples, tuple(k_ladder),
+        id(params), id(alpha_mask["volume"]), n_samples, ladder,
         float(acc_tol), int(app_k), float(eval_z_min),
     )
-    cached = _ADAPTIVE_PROBE_CACHE.get(cache_key)
-    if cached is not None:
-        start = cached
-    elif probe and len(parts) > 2:
-        stride_p = max(1, n // chunk)
-        probe_rays = rays[::stride_p][:chunk]
-        p_pad = chunk - probe_rays.shape[0]
-        if p_pad:
-            probe_rays = jnp.concatenate(
-                [probe_rays, jnp.zeros((p_pad, 6), probe_rays.dtype)], 0
-            )
-        for r, k in enumerate(k_ladder[:-1]):
-            _, p_bad = render_rays_compact_flagged(
-                cfg, params, aabb, probe_rays, alpha_mask,
-                n_samples=n_samples, compact_k=k, app_k=min(app_k, k),
-                white_bg=white_bg, eval_z_min=eval_z_min, acc_tol=acc_tol,
-                feature_dtype=feature_dtype,
-            )
-            if int(p_bad) == 0:
-                start = r
-                break
-        else:
-            start = len(k_ladder) - 1
-        if len(_ADAPTIVE_PROBE_CACHE) >= 8:
-            _ADAPTIVE_PROBE_CACHE.clear()
-        _ADAPTIVE_PROBE_CACHE[cache_key] = start
+    base = _ADAPTIVE_PROBE_CACHE.get(cache_key, 0) if probe else 0
+    k_base = ladder[base]
+    # cap the phase-1 chunk by rung width: wide chunks amortize the
+    # dispatch floor at CHEAP rungs, but the compiled program scales with
+    # chunk*K and the remote compile helper rejects ~2M-sample programs
+    # (HTTP 500 observed at 65536 x K=128).  Budget 1M selected samples
+    # per program, floor 16384 (K=128 @ 16384 is a known-good compile).
+    while chunk > 16384 and chunk * k_base > 1_048_576:
+        chunk //= 2
 
-    k0 = k_ladder[start]
-    top0 = start == len(k_ladder) - 1
-    outs, flags = [], []
-    for part, _ in parts:
-        if top0:
-            out, bad = render_rays_compact(
-                cfg, params, aabb, part, alpha_mask, n_samples=n_samples,
-                compact_k=k0, app_k=min(app_k, k0), white_bg=white_bg,
-                eval_z_min=eval_z_min, feature_dtype=feature_dtype,
-            ), None
-        else:
-            out, bad = render_rays_compact_flagged(
-                cfg, params, aabb, part, alpha_mask, n_samples=n_samples,
-                compact_k=k0, app_k=min(app_k, k0), white_bg=white_bg,
-                eval_z_min=eval_z_min, acc_tol=acc_tol,
-                feature_dtype=feature_dtype,
-            )
-        outs.append(out)
-        flags.append(bad)
-    ks = [k0] * len(parts)
-
-    for rung, k in enumerate(k_ladder[start + 1:], start=start + 1):
-        pend = [i for i, f in enumerate(flags) if f is not None]
-        if not pend:
-            break
-        # ONE host sync for every still-flagged chunk at this rung
-        bad = np.asarray(jnp.stack([flags[i] for i in pend]))
-        for j, i in enumerate(pend):
-            flags[i] = None
-            if bad[j] == 0:
-                continue
-            ks[i] = k
-            last = rung == len(k_ladder) - 1
-            if last:
-                outs[i] = render_rays_compact(
-                    cfg, params, aabb, parts[i][0], alpha_mask,
-                    n_samples=n_samples, compact_k=k, app_k=min(app_k, k),
-                    white_bg=white_bg, eval_z_min=eval_z_min,
-                    feature_dtype=feature_dtype,
-                )
-            else:
-                outs[i], flags[i] = render_rays_compact_flagged(
-                    cfg, params, aabb, parts[i][0], alpha_mask,
-                    n_samples=n_samples, compact_k=k, app_k=min(app_k, k),
-                    white_bg=white_bg, eval_z_min=eval_z_min, acc_tol=acc_tol,
-                    feature_dtype=feature_dtype,
-                )
-
-    # chunks that escalated carry wider (B, K) z_vals/weights — pad the
-    # narrower ones with zero weight (contributes nothing) so the
-    # concatenated output has one sample width
-    k_max = max(ks)
-    trimmed = []
-    for out, (_, pad) in zip(outs, parts):
+    def _widen(out, k_to):
         kw = out.weights.shape[1]
-        if kw < k_max:
-            zpad = jnp.zeros((out.weights.shape[0], k_max - kw),
-                             out.weights.dtype)
+        if kw < k_to:
+            zpad = jnp.zeros(
+                (out.weights.shape[0], k_to - kw), out.weights.dtype
+            )
             out = out._replace(
                 z_vals=jnp.concatenate([out.z_vals, zpad], 1),
                 weights=jnp.concatenate([out.weights, zpad], 1),
             )
+        return out
+
+    # --- phase 1: one base-rung render per chunk, flags ride along ------
+    outs, needs, pads = [], [], []
+    for s in range(0, n, chunk):
+        part = rays[s : s + chunk]
+        pad = chunk - part.shape[0]
+        if pad:
+            # pad by repeating the last ray (not zeros): the duplicate
+            # rows render identical values, so their flags/needs are
+            # real-ray copies that get trimmed off below
+            part = jnp.concatenate(
+                [part, jnp.repeat(part[-1:], pad, axis=0)], 0
+            )
+        if base == top:
+            out, need = render_rays_compact(
+                cfg, params, aabb, part, alpha_mask, n_samples=n_samples,
+                compact_k=k_base, app_k=min(app_k, k_base),
+                white_bg=white_bg, eval_z_min=eval_z_min,
+                feature_dtype=feature_dtype,
+            ), None
+        else:
+            out, need = render_rays_compact_need(
+                cfg, params, aabb, part, alpha_mask, n_samples=n_samples,
+                compact_k=k_base, app_k=min(app_k, k_base),
+                k_ladder=ladder, white_bg=white_bg, eval_z_min=eval_z_min,
+                acc_tol=acc_tol, feature_dtype=feature_dtype,
+            )
+        outs.append(out)
+        needs.append(need)
+        pads.append(pad)
+
+    ks = [k_base] * len(outs)
+    idx_by_rung: dict = {}
+    need_np = None
+    if outs and base != top:
+        # the view's ONE host sync: 1 byte/ray of escalation targets
+        need_mat = np.asarray(jnp.stack(needs))
+        need_np = np.concatenate(
+            [need_mat[i, : chunk - pads[i]] for i in range(len(needs))]
+        )
+        esc = np.nonzero(need_np)[0]
+        for r in np.unique(need_np[esc]):
+            idx_by_rung[int(r)] = esc[need_np[esc] == r]
+        for i in range(len(outs)):
+            lo, hi = i * chunk, min((i + 1) * chunk, n)
+            m = int(need_np[lo:hi].max(initial=0))
+            if m:
+                ks[i] = ladder[m]
+
+    used_rungs = sorted(idx_by_rung)
+    k_max = max([k_base] + [ladder[r] for r in used_rungs])
+
+    trimmed = []
+    for out, pad in zip(outs, pads):
+        out = _widen(out, k_max)
         if pad:
             out = jax.tree.map(lambda x: x[: chunk - pad], out)
         trimmed.append(out)
     merged = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *trimmed)
+
+    # --- phase 2: repack flagged rays, one render per rung group --------
+    if used_rungs:
+        rays_np = np.asarray(rays)
+        # group renders are capped at 16384 rays independent of the
+        # phase-1 chunk: wide phase-1 chunks amortize the dispatch floor
+        # at the cheap base rung, but a 65536-ray program at a HIGH rung
+        # blows the remote compiler (observed HTTP 500 from the axon
+        # compile helper at 65536 x K=128) and escalated-ray counts are
+        # small anyway
+        gchunk = min(chunk, 16384)
+        for r in used_rungs:
+            idx = idx_by_rung[r]
+            k_r = ladder[r]
+            m = len(idx)
+            for s0 in range(0, m, gchunk):
+                sl = idx[s0 : s0 + gchunk]
+                rem = len(sl)
+                # pad the group to a power-of-two quantum (>= 1024, <=
+                # gchunk) so jit specializations stay bounded while a
+                # handful of silhouette-edge rays never pays a full-chunk
+                # render; pad rows repeat the last index, so the scatter
+                # writes identical values through duplicate indices
+                quantum = min(gchunk, max(1024, 1 << (rem - 1).bit_length()))
+                part_idx = sl
+                if quantum - rem:
+                    part_idx = np.concatenate(
+                        [sl, np.repeat(sl[-1:], quantum - rem)]
+                    )
+                out_r = _widen(
+                    render_rays_compact(
+                        cfg, params, aabb, jnp.asarray(rays_np[part_idx]),
+                        alpha_mask, n_samples=n_samples, compact_k=k_r,
+                        app_k=min(app_k, k_r), white_bg=white_bg,
+                        eval_z_min=eval_z_min, feature_dtype=feature_dtype,
+                    ),
+                    k_max,
+                )
+                gidx = jnp.asarray(part_idx)
+                merged = RenderOutput(
+                    rgb=merged.rgb.at[gidx].set(out_r.rgb),
+                    depth=merged.depth.at[gidx].set(out_r.depth),
+                    z_vals=merged.z_vals.at[gidx].set(out_r.z_vals),
+                    weights=merged.weights.at[gidx].set(out_r.weights),
+                    acc=merged.acc.at[gidx].set(out_r.acc),
+                )
+
+    if probe and outs and need_np is not None:
+        # memoize the MEDIAN effective rung as the next base: fog fields
+        # (everything escalates) start at their true rung next view;
+        # trained fields keep the bottom.  Hint-only (see docstring).
+        med = int(np.median(np.maximum(need_np, base)))
+        if len(_ADAPTIVE_PROBE_CACHE) >= 8:
+            _ADAPTIVE_PROBE_CACHE.clear()
+        _ADAPTIVE_PROBE_CACHE[cache_key] = med
+
     return merged, ks
 
 

@@ -283,6 +283,8 @@ def progressive_runner(train_cfg, scene_cfg, services, exp_cfg,
         out = {"logfolder": logfolder,
                "views": int(scene.poses_gen.shape[0])}
         if eval_views:
+            from ..data import scene_state as _ss
+
             res = eval_renderer.evaluation(
                 mcfg, params, jnp.asarray(aabb), scene.rays_gen_split,
                 scene.hw,
@@ -291,6 +293,9 @@ def progressive_runner(train_cfg, scene_cfg, services, exp_cfg,
                 ),
                 gt_rgbs=scene.rgbs_gen_split, chunk=t_cfg.batch_size,
                 app_k=t_cfg.app_k,
+                # scene-aware floater cull (see supervised_z_floor): the
+                # reference constant erases supervised content below z=2
+                eval_z_min=_ss.supervised_z_floor(scene),
             )
             out["per_view_psnr"] = [round(float(p), 2) for p in res["psnr"]]
         return out

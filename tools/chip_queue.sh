@@ -1,60 +1,79 @@
 #!/bin/sh
-# Ordered unattended chip work (round 4).  Run whenever the axon tunnel
-# is alive (the /tmp/tpu_gate.sh watcher execs this when a probe
-# dispatch succeeds).  Each stage is idempotent: completed stages are
-# skipped on re-entry, results land in tracked reports/ and are
-# committed so an unattended completion survives VM recycles.
+# Ordered unattended chip work (round 5).  Run whenever the axon tunnel
+# is alive (tools/tpu_gate.sh execs this when a probe dispatch
+# succeeds).  Each stage is idempotent: completed stages are skipped on
+# re-entry, results land in tracked reports/ and are committed so an
+# unattended completion survives VM recycles.  Round-4 stages all
+# completed (reports/bench_r4_validation.log, fullsched_r4c.jsonl,
+# select/chunk sweeps) and were dropped from the queue.
+#
+# Stage progress snapshots go to reports/chip_queue_status.txt every
+# stage so a stall is visible in tracked files (VERDICT r4 item 7).
 cd /root/repo || exit 1
 mkdir -p reports
 
-# 1) bench.py adaptive-headline validation (queued since the round-4
-#    rewrite: 30-epoch fit + acc-gated ladder has only run under CPU
-#    tests).  The JSON line in the log marks completion.
-if ! grep -hq '"metric"' reports/bench_r4_validation.log 2>/dev/null; then
-    echo "=== chip_queue: bench validation $(date -u +%FT%TZ)" \
-        >> reports/bench_r4_validation.log
-    timeout 2700 python bench.py >> reports/bench_r4_validation.log 2>&1
-    git add reports/bench_r4_validation.log
-    git commit -q -m "bench.py adaptive-headline TPU validation log" || true
+note() {
+    echo "$(date -u +%FT%TZ) $*" >> reports/chip_queue_status.txt
+    git add reports/chip_queue_status.txt
+    git commit -q -m "chip_queue: status ($*)" || true
+}
+
+# 1) r5 full schedule, uniform stage-3 arm: end-to-end validation of the
+#    scene-aware eval z-cull fix (per-view targets: min >= 25, mean >= 32)
+if ! grep -hq '"stage3_balance": "uniform"' reports/fullsched_r5.jsonl 2>/dev/null; then
+    note "stage1 start: fullsched r5 uniform"
+    sh tools/launch_fullsched_r5.sh uniform
+    note "stage1 done"
 fi
 
-# 2) the r4c full-schedule A/B (resumable; launch_r4c.sh auto-commits
-#    its summary to reports/fullsched_r4c.jsonl on completion)
-if [ ! -s reports/fullsched_r4c.jsonl ]; then
-    sh tools/launch_r4c.sh
+# 2) stage-3 A/B second arm (VERDICT r5 item 5: show a win or retire
+#    tail_deficit)
+if ! grep -hq '"stage3_balance": "tail_deficit"' reports/fullsched_r5.jsonl 2>/dev/null; then
+    note "stage2 start: fullsched r5 tail_deficit"
+    sh tools/launch_fullsched_r5.sh tail_deficit
+    note "stage2 done"
 fi
-# 2b) r4c evidence: per-milestone step rates + phase shares (the
-#     bootstrap_support_pool sub-timers land here — ROADMAP perf #2)
-if [ -s reports/fullsched_r4c.jsonl ] && [ ! -s reports/fullsched_r4c_analysis.txt ]; then
+
+# 3) bench.py round-5 validation (repacking adaptive renderer).  NO outer
+#    timeout: bench.py's own watchdog is the sole deadline (ADVICE r4
+#    high — an outer timeout orphaned the grandchild and let two runs
+#    contend for the one host core).
+if ! grep -hq '"metric"' reports/bench_r5_validation.log 2>/dev/null; then
+    note "stage3 start: bench r5 validation"
+    echo "=== chip_queue: bench r5 validation $(date -u +%FT%TZ)" \
+        >> reports/bench_r5_validation.log
+    python bench.py >> reports/bench_r5_validation.log 2>&1
+    git add reports/bench_r5_validation.log
+    git commit -q -m "bench.py round-5 TPU validation log" || true
+    note "stage3 done"
+fi
+
+# 4) farm concurrency residue measurement (VERDICT r5 item 3: replace
+#    the /8 extrapolation with a measured host-contention factor)
+if [ ! -s reports/farm_concurrency_r5.json ]; then
+    note "stage4 start: farm concurrency probe"
+    timeout 7200 python tools/farm_concurrency_probe.py --n 2 \
+        --json reports/farm_concurrency_r5.json \
+        > reports/farm_concurrency_r5.stdout 2>&1
+    git add reports/farm_concurrency_r5.json reports/farm_concurrency_r5.stdout
+    git commit -q -m "farm concurrency probe: measured host residue (2 pipelines, 1 chip)" || true
+    note "stage4 done"
+fi
+
+# 5) analysis of both r5 schedule runs (step rates + phase shares)
+if grep -hq '"stage3_balance": "tail_deficit"' reports/fullsched_r5.jsonl 2>/dev/null \
+   && [ ! -s reports/fullsched_r5_analysis.txt ]; then
     {
-        env PALLAS_AXON_POOL_IPS= python tools/analyze_schedule_run.py \
-            /root/repo/.runs/fullsched_r4c/log
-        env PALLAS_AXON_POOL_IPS= python tools/report_phases.py \
-            /root/repo/.runs/fullsched_r4c/log
-    } > reports/fullsched_r4c_analysis.txt 2>&1
-    git add reports/fullsched_r4c_analysis.txt
-    git commit -q -m "r4c run analysis: step rates + phase shares (incl. support-pool sub-timers)" || true
+        for arm in uniform tail_deficit; do
+            echo "=== arm: $arm"
+            env PALLAS_AXON_POOL_IPS= python tools/analyze_schedule_run.py \
+                "/root/repo/.runs/fullsched_r5_${arm}/log"
+            env PALLAS_AXON_POOL_IPS= python tools/report_phases.py \
+                "/root/repo/.runs/fullsched_r5_${arm}/log"
+        done
+    } > reports/fullsched_r5_analysis.txt 2>&1
+    git add reports/fullsched_r5_analysis.txt
+    git commit -q -m "r5 schedule runs analysis (both stage-3 arms)" || true
+    note "stage5 done"
 fi
-
-# 3) select-lowering sweep (PERF.md promise: sort|topk|rank first_k_live
-#    lowerings at the production chunk)
-if [ ! -s reports/select_sweep_r4.jsonl ]; then
-    timeout 2700 python tools/profile_compact_eval.py \
-        --selects sort topk rank --skip_counts \
-        --report reports/select_sweep_r4.jsonl \
-        > reports/select_sweep_r4.stdout 2>&1
-    git add reports/select_sweep_r4.jsonl reports/select_sweep_r4.stdout
-    git commit -q -m "select-lowering sweep numbers (first_k_live sort/topk/rank)" || true
-fi
-
-# 4) chunk-size sweep: the per-chunk cost has a K-independent floor
-#    partly made of dispatch latency through the tunnel; if 32k/64k
-#    chunks amortize it, bench.py's headline chunk should be retuned
-if [ ! -s reports/chunk_sweep_r4.jsonl ]; then
-    timeout 2700 python tools/profile_compact_eval.py \
-        --chunks 32768 65536 --ks 16 32 64 --skip_counts \
-        --report reports/chunk_sweep_r4.jsonl \
-        > reports/chunk_sweep_r4.stdout 2>&1
-    git add reports/chunk_sweep_r4.jsonl reports/chunk_sweep_r4.stdout
-    git commit -q -m "chunk-size sweep at eval compact-K (dispatch-floor amortization)" || true
-fi
+note "queue drained"
