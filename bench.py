@@ -52,13 +52,20 @@ def build_scene_field(cfg, reso, seed=0):
     return params
 
 
-def fit_seed_scene(cfg, n_epochs=6, hw=256, seed=11):
+def fit_seed_scene(cfg, n_epochs=6, hw=256, seed=11, c2f=()):
     """Short stage-1 fit of the procedural seed scene at the production
     grid: returns (params, aabb, scene-free) — the trained field whose
     alpha mask reflects real scene occupancy.  Fitting at 256^2 keeps the
     bench under ~5 min; the 512^2 render headline uses the same field.
     ``cfg`` is the model config for the fit, so the headline and the
-    synthetic-shell secondary figure measure the SAME model."""
+    synthetic-shell secondary figure measure the SAME model.
+
+    ``c2f``: optional upsample step milestones — start the grid at 150^3
+    and upsample toward the production 300^3 at these global steps (the
+    full schedule's coarse-to-fine recipe, which converges surfaces the
+    flat-300^3 short fit leaves semi-transparent — see
+    reports/bench_field_diag_r5.json: 30 flat epochs saturate only 35%
+    of even the SEED view's rays)."""
     import tempfile
 
     from text2nerf_tpu.data import scene_state as ss
@@ -75,6 +82,9 @@ def fit_seed_scene(cfg, n_epochs=6, hw=256, seed=11):
         n_stage1=n_epochs, n_stage2=0, n_stage3=0,
         batch_size=16384, eval_every_epochs=10 ** 6, seed=seed,
         vis_support_views=False, model=cfg,
+        n_voxel_init=(150 ** 3 if c2f else 27_000_000),
+        n_voxel_final=27_000_000,
+        upsamp_list=tuple(c2f),
     )
     services = default_services(hw=(hw, hw), merge_net_size=64,
                                 merge_num_downs=4)

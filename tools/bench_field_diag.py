@@ -30,6 +30,8 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--seed", type=int, default=11)
     ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--c2f", type=int, nargs="*", default=(),
+                    help="upsample step milestones (150^3 -> 300^3)")
     ap.add_argument("--pose", type=int, default=3)
     ap.add_argument("--json", default="")
     args = ap.parse_args(argv)
@@ -48,12 +50,13 @@ def main(argv=None):
 
     enable_persistent_compilation_cache()
     cfg = tf.TensoRFConfig()
-    path = f"/root/repo/.runs/bench_field_seed{args.seed}.npz"
+    tag = f"seed{args.seed}" + ("_c2f" if args.c2f else "")
+    path = f"/root/repo/.runs/bench_field_{tag}.npz"
     if os.path.exists(path):
         mcfg, params, aabb, _, _ = ckpt.load_checkpoint(path)
     else:
         mcfg, params, aabb = bench.fit_seed_scene(
-            cfg, n_epochs=args.epochs, seed=args.seed)
+            cfg, n_epochs=args.epochs, seed=args.seed, c2f=args.c2f)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         ckpt.save_checkpoint(path, mcfg, params, aabb)
     aabb = jnp.asarray(aabb)
