@@ -8,8 +8,11 @@
 # VM recycle: re-running this script resumes from the last checkpoint.
 cd /root/repo || exit 1
 mkdir -p reports
+# per-attempt timeout (ADVICE r4): the documented tunnel failure mode is
+# a dispatch that HANGS; the run checkpoints every 5 epochs with resume,
+# so killing and re-entering is safe
 for i in $(seq 1 30); do
-    python tools/run_full_schedule.py \
+    timeout 10800 python tools/run_full_schedule.py \
         --out /root/repo/.runs/fullsched_r4c \
         --grid_init 150 --upsamp 1500 3000 4500 6500 \
         --stages 22 22 10 \
