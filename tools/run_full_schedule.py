@@ -28,6 +28,46 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _newest_mtime(root):
+    newest = 0.0
+    for dirpath, _dirnames, filenames in os.walk(root):
+        for fn in filenames:
+            try:
+                newest = max(newest, os.path.getmtime(os.path.join(dirpath, fn)))
+            except OSError:
+                pass
+    return newest
+
+
+def _start_stall_watchdog(out_dir, stall_s):
+    """Exit(3) when nothing under *out_dir* has been written for *stall_s*.
+
+    The documented tunnel failure mode is a dispatch that HANGS (ADVICE
+    r4): a healthy run writes metrics.jsonl every ~12 s and resume
+    checkpoints every 5 epochs, so prolonged mtime silence means the
+    process is wedged on a dead dispatch.  os._exit (not sys.exit)
+    because the wedged thread holds the runtime; the external retry loop
+    re-enters with resume=True from the last checkpoint.
+    """
+    import threading
+
+    t_start = time.time()
+
+    def _watch():
+        while True:
+            time.sleep(60)
+            newest = _newest_mtime(out_dir)
+            ref = newest if newest else t_start
+            if time.time() - ref > stall_s:
+                print(
+                    f"STALL: no write under {out_dir} for {stall_s}s; "
+                    "exiting 3 for external resume", file=sys.stderr, flush=True,
+                )
+                os._exit(3)
+
+    threading.Thread(target=_watch, daemon=True, name="stall-watchdog").start()
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--out", default="/tmp/text2nerf_fullsched")
@@ -58,7 +98,16 @@ def main(argv=None):
     p.add_argument("--retries", type=int, default=0,
                    help="in-process resume-and-retry count for transient "
                         "failures (tunnel flaps)")
+    p.add_argument("--stall_exit_s", type=int, default=1500,
+                   help="exit(3) when NOTHING under --out changes for this "
+                        "many seconds (a hung tunnel dispatch; the outer "
+                        "retry loop re-enters with resume).  0 disables.  "
+                        "Default 1500 s clears the worst silent windows "
+                        "(8-min first Pallas compile, 206-s bootstrap).")
     args = p.parse_args(argv)
+
+    if args.stall_exit_s:
+        _start_stall_watchdog(args.out, args.stall_exit_s)
 
     from text2nerf_tpu.data import scene_state as ss
     from text2nerf_tpu.engine import expansion, trainer
