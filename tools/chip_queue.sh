@@ -3,9 +3,14 @@
 # is alive (tools/tpu_gate.sh execs this when a probe dispatch
 # succeeds).  Each stage is idempotent: completed stages are skipped on
 # re-entry, results land in tracked reports/ and are committed so an
-# unattended completion survives VM recycles.  Round-4 stages all
-# completed (reports/bench_r4_validation.log, fullsched_r4c.jsonl,
-# select/chunk sweeps) and were dropped from the queue.
+# unattended completion survives VM recycles.
+#
+# Round-5 session-2 reorder: the bench validation and the farm
+# concurrency probe are the round's CRITICAL chip items (the driver's
+# end-of-round bench run and VERDICT r5 item 3); the stage-3
+# tail_deficit A/B arm (VERDICT item 5 "show a win or retire") runs
+# LAST — if the round ends first, the knob is retired on the r4
+# negative evidence instead.
 #
 # Stage progress snapshots go to reports/chip_queue_status.txt every
 # stage so a stall is visible in tracked files (VERDICT r4 item 7).
@@ -26,37 +31,37 @@ if ! grep -hq '"stage3_balance": "uniform"' reports/fullsched_r5.jsonl 2>/dev/nu
     note "stage1 done"
 fi
 
-# 2) stage-3 A/B second arm (VERDICT r5 item 5: show a win or retire
-#    tail_deficit)
-if ! grep -hq '"stage3_balance": "tail_deficit"' reports/fullsched_r5.jsonl 2>/dev/null; then
-    note "stage2 start: fullsched r5 tail_deficit"
-    sh tools/launch_fullsched_r5.sh tail_deficit
-    note "stage2 done"
-fi
-
-# 3) bench.py round-5 validation (repacking adaptive renderer).  NO outer
+# 2) bench.py round-5 validation (repacking adaptive renderer).  NO outer
 #    timeout: bench.py's own watchdog is the sole deadline (ADVICE r4
 #    high — an outer timeout orphaned the grandchild and let two runs
 #    contend for the one host core).
 if ! grep -hq '"metric"' reports/bench_r5_validation.log 2>/dev/null; then
-    note "stage3 start: bench r5 validation"
+    note "stage2 start: bench r5 validation"
     echo "=== chip_queue: bench r5 validation $(date -u +%FT%TZ)" \
         >> reports/bench_r5_validation.log
     python bench.py >> reports/bench_r5_validation.log 2>&1
     git add reports/bench_r5_validation.log
     git commit -q -m "bench.py round-5 TPU validation log" || true
-    note "stage3 done"
+    note "stage2 done"
 fi
 
-# 4) farm concurrency residue measurement (VERDICT r5 item 3: replace
+# 3) farm concurrency residue measurement (VERDICT r5 item 3: replace
 #    the /8 extrapolation with a measured host-contention factor)
 if [ ! -s reports/farm_concurrency_r5.json ]; then
-    note "stage4 start: farm concurrency probe"
+    note "stage3 start: farm concurrency probe"
     timeout 7200 python tools/farm_concurrency_probe.py --n 2 \
         --json reports/farm_concurrency_r5.json \
         > reports/farm_concurrency_r5.stdout 2>&1
     git add reports/farm_concurrency_r5.json reports/farm_concurrency_r5.stdout
     git commit -q -m "farm concurrency probe: measured host residue (2 pipelines, 1 chip)" || true
+    note "stage3 done"
+fi
+
+# 4) stage-3 A/B second arm (VERDICT r5 item 5: show a win or retire
+#    tail_deficit)
+if ! grep -hq '"stage3_balance": "tail_deficit"' reports/fullsched_r5.jsonl 2>/dev/null; then
+    note "stage4 start: fullsched r5 tail_deficit"
+    sh tools/launch_fullsched_r5.sh tail_deficit
     note "stage4 done"
 fi
 
