@@ -1,13 +1,19 @@
 """Benchmark: render throughput (rays/sec/chip) at the reference config.
 
-Headline: full 512x512 renders of a TRAINED seed-scene field (short
-stage-1 fit of the procedural seed scene at the production 300^3 grid)
-through the alpha-mask-compacted fast path — the mask is the real, tight
-occupancy a trained Text2NeRF scene produces, exactly what the pipeline
-renders in production (tensorBase.py:451-456 culling semantics through
-ops/render.render_rays_compact).  A synthetic room-shell field (45% mask
-occupancy — much denser than trained scenes) is also measured and
-reported as a secondary figure.
+Headline: full 512x512 renders of a TRAINED scene field through the
+acc-gated adaptive compacted path.  The field is, in preference order:
+(1) the newest full-schedule run's final checkpoint under /root/repo/
+.runs (tools/run_full_schedule.py persists the converged production
+field — 14k-step, depth-supervised, the exact occupancy/transmittance
+regime the pipeline serves; see reports/bench_field_diag_r5.json for
+why a short in-bench fit cannot reproduce it: 120 fit steps leave the
+field semi-transparent, median accumulated opacity 0.14, so the honest
+adaptive path pays the top rung for most rays); (2) a short stage-1 fit
+of the procedural seed scene at the production 300^3 grid when no run
+checkpoint exists (fresh clone).  Culling semantics are the reference's
+(tensorBase.py:451-456) through ops/render.render_rays_compact.  A
+synthetic room-shell field (45% mask occupancy — much denser than
+trained scenes) is also measured and reported as a secondary figure.
 
 ``vs_baseline`` compares against the naive-gather implementation measured
 on the same chip at the start of round 1 (separate 4-corner gathers per
@@ -94,8 +100,32 @@ def fit_seed_scene(cfg, n_epochs=6, hw=256, seed=11, c2f=()):
     return mcfg, params, aabb
 
 
+def load_production_field():
+    """Newest full-schedule final checkpoint at the production grid, or
+    None.  Loading (vs re-fitting) also keeps the bench under the
+    watchdog deadline; per-run pose jitter (see main) keeps the timed
+    dispatches unique even though the loaded field bytes repeat."""
+    import glob
+    import os
+
+    from text2nerf_tpu.engine import checkpoints as ckpt
+    from text2nerf_tpu.models import tensorf as tf
+
+    for p in sorted(
+        glob.glob("/root/repo/.runs/fullsched_*/log/*/fullsched_final.npz"),
+        key=os.path.getmtime, reverse=True,
+    ):
+        try:
+            mcfg, params, aabb, _mask, _ = ckpt.load_checkpoint(p)
+        except Exception:
+            continue
+        if min(tf.grid_resolution(mcfg, params)) >= 250:
+            return mcfg, params, aabb, p
+    return None
+
+
 def measure_render(cfg, params, aabb, alpha_mask, n_samples, n_views=4,
-                   mode="fixed64", pose_offset=0):
+                   mode="fixed64", pose_offset=0, angle=0.2):
     """rays/s over ``n_views`` distinct full 512^2 views (+1 warm-up pose
     outside the timed set).
 
@@ -115,12 +145,14 @@ def measure_render(cfg, params, aabb, alpha_mask, n_samples, n_views=4,
     h = w = 512
     fx, fy, cx, cy = R.default_intrinsics(h, w)
     dirs = R.ray_directions(h, w, (fx, fy), (cx, cy))
-    poses = traj.test_trajectory("circle0", np.eye(4), angle=0.2,
+    poses = traj.test_trajectory("circle0", np.eye(4), angle=angle,
                                  trans_range=0.2)
     chunk = 16384
-    # pose_offset keeps repeated measurements on DISJOINT poses: the axon
-    # tunnel dedups dispatches whose input buffers it has already seen,
-    # so a second mode timed over the same rays could read fake-fast
+    # pose_offset + the caller's per-run angle jitter keep repeated
+    # measurements on DISJOINT rays: the axon tunnel dedups dispatches
+    # whose input buffers it has already seen, so re-timing identical
+    # rays (across modes OR across bench invocations against the same
+    # loaded checkpoint) could read fake-fast
     all_rays = [
         jnp.concatenate(
             R.rays_from_pose(dirs, jnp.asarray(poses[pose_offset + i])), -1
@@ -177,30 +209,45 @@ def main():
     reso = tf.n_to_reso(27_000_000, aabb)
     n_samples = tf.default_n_samples(reso, cfg.step_ratio)
 
-    # --- headline: trained seed-scene field --------------------------------
-    # 30 stage-1 epochs (round 4; was 6): the 6-epoch field was fog — its
-    # transmittance never saturated, so the fixed-K=64 path truncated it
-    # at 14.7 dB vs untruncated (PERF.md round-4 profile).  A converged
-    # seed fit is the production regime: opaque surfaces saturate within
-    # the bottom adaptive rung.
-    # BENCH_ATTEMPT (watchdog retry index) offsets the fit seed: fresh
-    # params make every downstream timed dispatch's input buffers unique
-    # across attempts, defeating the tunnel's server-side dedup (ADVICE r4)
+    # --- headline: trained scene field --------------------------------------
+    # Production checkpoint when present (converged, opaque — the regime
+    # the adaptive ladder's bottom rung serves); else a short stage-1
+    # seed fit (see module docstring).
+    # BENCH_ATTEMPT (watchdog retry index) offsets the fallback fit seed;
+    # the per-run angle jitter below makes every timed dispatch's ray
+    # buffers unique across attempts AND across bench invocations against
+    # the same loaded checkpoint, defeating the tunnel's server-side
+    # dedup (ADVICE r4).
     import os as _os_env
 
     attempt = int(_os_env.environ.get("BENCH_ATTEMPT", "0"))
-    mcfg, params, t_aabb = fit_seed_scene(cfg, n_epochs=30, seed=11 + attempt)
+    prod = load_production_field()
+    if prod is not None:
+        mcfg, params, t_aabb, field_source = prod
+        n_samples = int(tf.default_n_samples(
+            tf.grid_resolution(mcfg, params), mcfg.step_ratio
+        ))
+    else:
+        mcfg, params, t_aabb = fit_seed_scene(
+            cfg, n_epochs=30, seed=11 + attempt
+        )
+        field_source = "fitted_seed_scene_30ep"
+    jrng = np.random.default_rng(
+        int.from_bytes(_os_env.urandom(8), "little")
+    )
+    angles = 0.2 * (1.0 + 0.02 * (1.0 + jrng.random(3)))  # 3 disjoint sets
     alpha_mask, _ = tf.update_alpha_mask(
         mcfg, params, t_aabb, (200, 200, 200), pool=5
     )
     occupancy = float(np.asarray(alpha_mask["volume"]).mean())
     t_aabb = jnp.asarray(t_aabb)
     trained_rays_s = measure_render(
-        mcfg, params, t_aabb, alpha_mask, n_samples, mode="adaptive"
+        mcfg, params, t_aabb, alpha_mask, n_samples, mode="adaptive",
+        angle=float(angles[0]),
     )
     fixed64_rays_s = measure_render(
         mcfg, params, t_aabb, alpha_mask, n_samples, mode="fixed64",
-        pose_offset=5,
+        pose_offset=5, angle=float(angles[1]),
     )
 
     # accuracy of the headline path vs an untruncated render (one view):
@@ -213,8 +260,8 @@ def main():
 
     fx, fy, cx, cy = R.default_intrinsics(512, 512)
     dirs = R.ray_directions(512, 512, (fx, fy), (cx, cy))
-    # pose 10: disjoint from both timed pose sets (dedup hygiene)
-    pose = traj.test_trajectory("circle0", np.eye(4), angle=0.2,
+    # pose 10 at a third jittered angle: disjoint from both timed sets
+    pose = traj.test_trajectory("circle0", np.eye(4), angle=float(angles[2]),
                                 trans_range=0.2)[10]
     rays_v = jnp.concatenate(R.rays_from_pose(dirs, jnp.asarray(pose)), -1)
     ada_rgb, _ = Rd.render_chunked_adaptive(
@@ -248,6 +295,7 @@ def main():
                 ),
                 "trained_mask_occupancy": round(occupancy, 3),
                 "headline_mode": "adaptive_acc_gated",
+                "field_source": field_source,
                 "max_dev_vs_untruncated": round(max_dev, 5),
                 "fixed64_rays_s": round(fixed64_rays_s, 1),
                 "shell_scene_rays_per_s": round(shell_rays_s, 1),

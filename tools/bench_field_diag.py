@@ -33,6 +33,11 @@ def main(argv=None):
     ap.add_argument("--c2f", type=int, nargs="*", default=(),
                     help="upsample step milestones (150^3 -> 300^3)")
     ap.add_argument("--pose", type=int, default=3)
+    ap.add_argument("--ckpt", default="",
+                    help="diag an existing checkpoint (e.g. a full-schedule "
+                         "run's fullsched_final.npz) instead of fitting — "
+                         "measures whether the PRODUCTION-trained field "
+                         "saturates at the bottom adaptive rung")
     ap.add_argument("--json", default="")
     args = ap.parse_args(argv)
 
@@ -52,7 +57,9 @@ def main(argv=None):
     cfg = tf.TensoRFConfig()
     tag = f"seed{args.seed}" + ("_c2f" if args.c2f else "")
     path = f"/root/repo/.runs/bench_field_{tag}.npz"
-    if os.path.exists(path):
+    if args.ckpt:
+        mcfg, params, aabb, _, _ = ckpt.load_checkpoint(args.ckpt)
+    elif os.path.exists(path):
         mcfg, params, aabb, _, _ = ckpt.load_checkpoint(path)
     else:
         mcfg, params, aabb = bench.fit_seed_scene(
@@ -72,6 +79,8 @@ def main(argv=None):
         R.rays_from_pose(dirs, jnp.asarray(poses[args.pose])), -1)
 
     report = {"n_samples": n_samples, "pose": args.pose, "seed": args.seed}
+    if args.ckpt:
+        report["ckpt"] = args.ckpt
     for pool in (5, 3):
         mask, _ = tf.update_alpha_mask(mcfg, params, aabb, (200,) * 3,
                                        pool=pool)
