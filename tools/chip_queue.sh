@@ -31,6 +31,21 @@ if ! grep -hq '"stage3_balance": "uniform"' reports/fullsched_r5.jsonl 2>/dev/nu
     note "stage1 done"
 fi
 
+# 1b) saturation diag on the newest production checkpoint: measures the
+#     adaptive ladder's expected rung residency on a CONVERGED field
+#     (live counts, sat_frac at K=16, escalation-need histogram) — the
+#     data behind the bench headline's field choice
+CKPT=$(ls -t /root/repo/.runs/fullsched_*/log/*/fullsched_final.npz 2>/dev/null | head -1)
+if [ -n "$CKPT" ] && [ ! -s reports/prod_field_diag_r5.json ]; then
+    note "stage1b start: production field saturation diag"
+    timeout 3600 python tools/bench_field_diag.py --ckpt "$CKPT" \
+        --json reports/prod_field_diag_r5.json \
+        > reports/prod_field_diag_r5.stdout 2>&1
+    git add reports/prod_field_diag_r5.json reports/prod_field_diag_r5.stdout
+    git commit -q -m "production-field saturation diag (adaptive rung residency)" || true
+    note "stage1b done"
+fi
+
 # 2) bench.py round-5 validation (repacking adaptive renderer).  NO outer
 #    timeout: bench.py's own watchdog is the sole deadline (ADVICE r4
 #    high — an outer timeout orphaned the grandchild and let two runs
