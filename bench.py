@@ -100,7 +100,7 @@ def fit_seed_scene(cfg, n_epochs=6, hw=256, seed=11, c2f=()):
     return mcfg, params, aabb
 
 
-def load_production_field():
+def load_production_field(runs_root="/root/repo/.runs", min_grid=250):
     """Newest full-schedule final checkpoint at the production grid, or
     None.  Loading (vs re-fitting) also keeps the bench under the
     watchdog deadline; per-run pose jitter (see main) keeps the timed
@@ -112,14 +112,15 @@ def load_production_field():
     from text2nerf_tpu.models import tensorf as tf
 
     for p in sorted(
-        glob.glob("/root/repo/.runs/fullsched_*/log/*/fullsched_final.npz"),
+        glob.glob(os.path.join(
+            runs_root, "fullsched_*/log/*/fullsched_final.npz")),
         key=os.path.getmtime, reverse=True,
     ):
         try:
             mcfg, params, aabb, _mask, _ = ckpt.load_checkpoint(p)
         except Exception:
             continue
-        if min(tf.grid_resolution(mcfg, params)) >= 250:
+        if min(tf.grid_resolution(mcfg, params)) >= min_grid:
             return mcfg, params, aabb, p
     return None
 
