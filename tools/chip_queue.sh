@@ -23,6 +23,27 @@ note() {
     git commit -q -m "chip_queue: status ($*)" || true
 }
 
+# CPU-only (~1 min/arm) step-rate + phase-share analysis of whichever
+# schedule arms have landed; idempotent per arm, so it runs right after
+# the uniform arm AND again at queue end for the tail_deficit arm
+analyze_arms() {
+    for arm in uniform tail_deficit; do
+        if grep -hq "\"stage3_balance\": \"$arm\"" reports/fullsched_r5.jsonl 2>/dev/null \
+           && [ ! -s "reports/fullsched_r5_analysis_${arm}.txt" ]; then
+            {
+                echo "=== arm: $arm"
+                env PALLAS_AXON_POOL_IPS= python tools/analyze_schedule_run.py \
+                    "/root/repo/.runs/fullsched_r5_${arm}/log"
+                env PALLAS_AXON_POOL_IPS= python tools/report_phases.py \
+                    "/root/repo/.runs/fullsched_r5_${arm}/log"
+            } > "reports/fullsched_r5_analysis_${arm}.txt" 2>&1
+            git add "reports/fullsched_r5_analysis_${arm}.txt"
+            git commit -q -m "r5 schedule run analysis ($arm arm)" || true
+            note "analysis done ($arm)"
+        fi
+    done
+}
+
 # 1) r5 full schedule, uniform stage-3 arm: end-to-end validation of the
 #    scene-aware eval z-cull fix (per-view targets: min >= 25, mean >= 32)
 if ! grep -hq '"stage3_balance": "uniform"' reports/fullsched_r5.jsonl 2>/dev/null; then
@@ -45,6 +66,8 @@ if [ -n "$CKPT" ] && [ ! -s reports/prod_field_diag_r5.json ]; then
     git commit -q -m "production-field saturation diag (adaptive rung residency)" || true
     note "stage1b done"
 fi
+
+analyze_arms
 
 # 2) bench.py round-5 validation (repacking adaptive renderer).  NO outer
 #    timeout: bench.py's own watchdog is the sole deadline (ADVICE r4
@@ -80,20 +103,6 @@ if ! grep -hq '"stage3_balance": "tail_deficit"' reports/fullsched_r5.jsonl 2>/d
     note "stage4 done"
 fi
 
-# 5) analysis of both r5 schedule runs (step rates + phase shares)
-if grep -hq '"stage3_balance": "tail_deficit"' reports/fullsched_r5.jsonl 2>/dev/null \
-   && [ ! -s reports/fullsched_r5_analysis.txt ]; then
-    {
-        for arm in uniform tail_deficit; do
-            echo "=== arm: $arm"
-            env PALLAS_AXON_POOL_IPS= python tools/analyze_schedule_run.py \
-                "/root/repo/.runs/fullsched_r5_${arm}/log"
-            env PALLAS_AXON_POOL_IPS= python tools/report_phases.py \
-                "/root/repo/.runs/fullsched_r5_${arm}/log"
-        done
-    } > reports/fullsched_r5_analysis.txt 2>&1
-    git add reports/fullsched_r5_analysis.txt
-    git commit -q -m "r5 schedule runs analysis (both stage-3 arms)" || true
-    note "stage5 done"
-fi
+# final pass: any arm that landed while this queue was running
+analyze_arms
 note "queue drained"
