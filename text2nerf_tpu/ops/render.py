@@ -979,6 +979,7 @@ def render_chunked_adaptive(
     acc_tol: float = 1e-3,
     feature_dtype: str = "bf16",
     probe: bool = True,
+    sample_budget: int = 1_048_576,
 ):
     """Chunked eval renderer with per-RAY adaptive compact-K (repacking).
 
@@ -1030,11 +1031,14 @@ def render_chunked_adaptive(
     base = _ADAPTIVE_PROBE_CACHE.get(cache_key, 0) if probe else 0
     k_base = ladder[base]
     # cap the phase-1 chunk by rung width: wide chunks amortize the
-    # dispatch floor at CHEAP rungs, but the compiled program scales with
-    # chunk*K and the remote compile helper rejects ~2M-sample programs
-    # (HTTP 500 observed at 65536 x K=128).  Budget 1M selected samples
-    # per program, floor 16384 (K=128 @ 16384 is a known-good compile).
-    while chunk > 16384 and chunk * k_base > 1_048_576:
+    # dispatch floor at CHEAP rungs, but the compiled program's HBM
+    # temps scale with chunk*K (HTTP 500 / 16.2G-HBM OOM observed at
+    # 65536 x K=128 with app_k 128).  Default budget 1M selected samples
+    # per program, floor 16384 (K=128 @ 16384 is a known-good compile);
+    # ``sample_budget`` raises it where measured safe (chunk 131072 at
+    # the K=16 base rung compiles and amortizes the dispatch floor
+    # further — tools/bench_adaptive_pool_ab.py).
+    while chunk > 16384 and chunk * k_base > sample_budget:
         chunk //= 2
 
     def _widen(out, k_to):
