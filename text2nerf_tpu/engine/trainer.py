@@ -85,11 +85,15 @@ class TrainConfig:
     # truncation (PERF.md round 4), so the accuracy-honest path is the
     # default and fixed K is the opt-in
     eval_compact_k: int = -1
-    # eval-mask dilation: pool=5 licenses stride-2 occupancy testing
-    # (the default); pool=7 licenses stride-3 (+5.5% rays/s on the bench
-    # scene, PERF.md) at the cost of a dilated mask — more live samples
-    # on tightly-masked scenes, which can push rays past eval_compact_k
-    eval_mask_pool: int = 5
+    # eval-mask dilation: pool=3 is the reference's own 3^3 max-pool
+    # (tensorBase.py:355) and the tight default for the adaptive eval —
+    # on a converged field the pool-5 dilation inflates per-ray live
+    # counts past the top rung (28.5% of rays escalate at K=128 vs 5.2%
+    # tight; reports/prod_field_diag_r5.json), which costs far more than
+    # the stride-2 occupancy discount the dilation buys.  pool=5/7
+    # license stride-2/3 occupancy testing (+5.5% on fixed-K renders,
+    # PERF.md) — an opt-in for fixed eval_compact_k configs
+    eval_mask_pool: int = 3
     # TPU-native extension: gradient micro-batching inside the jitted
     # train step (lax.scan over sub-batches).  Measured FASTER on v5e
     # (768 -> 554 ms/step at the production config, PERF.md) and caps HLO

@@ -13,6 +13,27 @@
 cd /root/repo || exit 1
 mkdir -p reports
 BAL="${1:-uniform}"
+# Session-2 insert: the tail_deficit arm is the queue's LAST long chip
+# item — before burning ~90 min on it, land the two short bench items
+# that the round is judged on (idempotent; ~20 min total):
+#   1. the adaptive mask-regime A/B on the production checkpoint,
+#   2. a bench.py re-validation with the pool-3 headline fix.
+if [ "$BAL" = "tail_deficit" ]; then
+    if [ ! -s reports/adaptive_pool_ab_r5.json ]; then
+        timeout 3600 python tools/bench_adaptive_pool_ab.py \
+            --json reports/adaptive_pool_ab_r5.json \
+            > reports/adaptive_pool_ab_r5.stdout 2>&1
+        git add reports/adaptive_pool_ab_r5.json reports/adaptive_pool_ab_r5.stdout
+        git commit -q -m "adaptive mask-regime A/B on the production checkpoint" || true
+    fi
+    if ! grep -c '"metric"' reports/bench_r5_validation.log 2>/dev/null | grep -q '^2'; then
+        echo "=== chip_queue: bench r5 re-validation (pool-3 headline) $(date -u +%FT%TZ)" \
+            >> reports/bench_r5_validation.log
+        python bench.py >> reports/bench_r5_validation.log 2>&1
+        git add reports/bench_r5_validation.log
+        git commit -q -m "bench.py r5 re-validation (pool-3 adaptive headline)" || true
+    fi
+fi
 OUT="/root/repo/.runs/fullsched_r5_${BAL}"
 REP="/root/repo/reports/fullsched_r5.jsonl"
 for i in $(seq 1 30); do
