@@ -26,7 +26,7 @@ if [ "$BAL" = "tail_deficit" ]; then
         git add reports/adaptive_pool_ab_r5.json reports/adaptive_pool_ab_r5.stdout
         git commit -q -m "adaptive mask-regime A/B on the production checkpoint" || true
     fi
-    if ! grep -c '"metric"' reports/bench_r5_validation.log 2>/dev/null | grep -q '^2'; then
+    if [ "$(grep -c '"metric"' reports/bench_r5_validation.log 2>/dev/null || echo 0)" -lt 2 ]; then
         echo "=== chip_queue: bench r5 re-validation (pool-3 headline) $(date -u +%FT%TZ)" \
             >> reports/bench_r5_validation.log
         python bench.py >> reports/bench_r5_validation.log 2>&1
