@@ -1112,51 +1112,53 @@ def render_chunked_adaptive(
         trimmed.append(out)
     merged = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *trimmed)
 
-    # --- phase 2: repack flagged rays, one render per rung group --------
+    # --- phase 2: repack ALL flagged rays into one top-rung pass --------
     if used_rungs:
         rays_np = np.asarray(rays)
-        # group renders are capped at 16384 rays independent of the
-        # phase-1 chunk: wide phase-1 chunks amortize the dispatch floor
-        # at the cheap base rung, but a 65536-ray program at a HIGH rung
-        # blows the remote compiler (observed HTTP 500 from the axon
-        # compile helper at 65536 x K=128) and escalated-ray counts are
-        # small anyway
+        # Every flagged ray renders at the MAX needed rung of the view
+        # (a superset window is exact: first-K_top live covers any
+        # smaller need), in groups padded to one of exactly TWO quanta.
+        # Rationale (round-5 A/B, reports/adaptive_pool_ab_r5.json):
+        # per-rung groups with free pow2 quanta produced a fresh jit
+        # specialization whenever a view's escalation count crossed a
+        # pow2 boundary, and the 15-60 s remote compiles landed inside
+        # render loops (21k rays/s on a field whose phase-1 alone runs
+        # 330k).  Two quanta x one rung bounds the program set at 2 per
+        # (field config, ladder), warmed by the first view; the cost of
+        # rendering a K=64-need ray at K=128 is noise next to one compile.
+        # Groups are capped at 16384 rays: a 65536-ray program at K=128
+        # blows the remote compiler (observed HTTP 500 / 16G HBM OOM).
         gchunk = min(chunk, 16384)
-        for r in used_rungs:
-            idx = idx_by_rung[r]
-            k_r = ladder[r]
-            m = len(idx)
-            for s0 in range(0, m, gchunk):
-                sl = idx[s0 : s0 + gchunk]
-                rem = len(sl)
-                # pad the group to a power-of-two quantum (>= 1024, <=
-                # gchunk) so jit specializations stay bounded while a
-                # handful of silhouette-edge rays never pays a full-chunk
-                # render; pad rows repeat the last index, so the scatter
-                # writes identical values through duplicate indices
-                quantum = min(gchunk, max(1024, 1 << (rem - 1).bit_length()))
-                part_idx = sl
-                if quantum - rem:
-                    part_idx = np.concatenate(
-                        [sl, np.repeat(sl[-1:], quantum - rem)]
-                    )
-                out_r = _widen(
-                    render_rays_compact(
-                        cfg, params, aabb, jnp.asarray(rays_np[part_idx]),
-                        alpha_mask, n_samples=n_samples, compact_k=k_r,
-                        app_k=min(app_k, k_r), white_bg=white_bg,
-                        eval_z_min=eval_z_min, feature_dtype=feature_dtype,
-                    ),
-                    k_max,
+        small_q = min(gchunk, 4096)
+        k_r = ladder[max(used_rungs)]
+        idx_all = np.sort(np.concatenate([idx_by_rung[r] for r in used_rungs]))
+        m = len(idx_all)
+        for s0 in range(0, m, gchunk):
+            sl = idx_all[s0 : s0 + gchunk]
+            rem = len(sl)
+            quantum = small_q if rem <= small_q else gchunk
+            part_idx = sl
+            if quantum - rem:
+                part_idx = np.concatenate(
+                    [sl, np.repeat(sl[-1:], quantum - rem)]
                 )
-                gidx = jnp.asarray(part_idx)
-                merged = RenderOutput(
-                    rgb=merged.rgb.at[gidx].set(out_r.rgb),
-                    depth=merged.depth.at[gidx].set(out_r.depth),
-                    z_vals=merged.z_vals.at[gidx].set(out_r.z_vals),
-                    weights=merged.weights.at[gidx].set(out_r.weights),
-                    acc=merged.acc.at[gidx].set(out_r.acc),
-                )
+            out_r = _widen(
+                render_rays_compact(
+                    cfg, params, aabb, jnp.asarray(rays_np[part_idx]),
+                    alpha_mask, n_samples=n_samples, compact_k=k_r,
+                    app_k=min(app_k, k_r), white_bg=white_bg,
+                    eval_z_min=eval_z_min, feature_dtype=feature_dtype,
+                ),
+                k_max,
+            )
+            gidx = jnp.asarray(part_idx)
+            merged = RenderOutput(
+                rgb=merged.rgb.at[gidx].set(out_r.rgb),
+                depth=merged.depth.at[gidx].set(out_r.depth),
+                z_vals=merged.z_vals.at[gidx].set(out_r.z_vals),
+                weights=merged.weights.at[gidx].set(out_r.weights),
+                acc=merged.acc.at[gidx].set(out_r.acc),
+            )
 
     if probe and outs and need_np is not None:
         # memoize the MEDIAN effective rung as the next base: fog fields
