@@ -1114,7 +1114,6 @@ def render_chunked_adaptive(
 
     # --- phase 2: repack ALL flagged rays into one top-rung pass --------
     if used_rungs:
-        rays_np = np.asarray(rays)
         # Every flagged ray renders at the MAX needed rung of the view
         # (a superset window is exact: first-K_top live covers any
         # smaller need), in groups padded to one of exactly TWO quanta.
@@ -1142,16 +1141,19 @@ def render_chunked_adaptive(
                 part_idx = np.concatenate(
                     [sl, np.repeat(sl[-1:], quantum - rem)]
                 )
+            # gather ON DEVICE: only the 4B/ray indices cross the host
+            # boundary (shipping the rays themselves through the ~30MB/s
+            # tunnel cost ~1.1 us/ray — round-5 profile)
+            gidx = jnp.asarray(part_idx)
             out_r = _widen(
                 render_rays_compact(
-                    cfg, params, aabb, jnp.asarray(rays_np[part_idx]),
+                    cfg, params, aabb, jnp.take(rays, gidx, axis=0),
                     alpha_mask, n_samples=n_samples, compact_k=k_r,
                     app_k=min(app_k, k_r), white_bg=white_bg,
                     eval_z_min=eval_z_min, feature_dtype=feature_dtype,
                 ),
                 k_max,
             )
-            gidx = jnp.asarray(part_idx)
             merged = RenderOutput(
                 rgb=merged.rgb.at[gidx].set(out_r.rgb),
                 depth=merged.depth.at[gidx].set(out_r.depth),
