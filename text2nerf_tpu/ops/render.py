@@ -1117,25 +1117,28 @@ def render_chunked_adaptive(
         # Every flagged ray renders at the MAX needed rung of the view
         # (a superset window is exact: first-K_top live covers any
         # smaller need), in groups padded to one of exactly TWO quanta.
-        # Rationale (round-5 A/B, reports/adaptive_pool_ab_r5.json):
-        # per-rung groups with free pow2 quanta produced a fresh jit
-        # specialization whenever a view's escalation count crossed a
-        # pow2 boundary, and the 15-60 s remote compiles landed inside
+        # Rationale (round-5 A/Bs, reports/adaptive_pool_ab_r5.json +
+        # _r5b): per-rung groups with free pow2 quanta produced a fresh
+        # jit specialization whenever a view's escalation count crossed
+        # a pow2 boundary, and the 15-60 s remote compiles landed inside
         # render loops (21k rays/s on a field whose phase-1 alone runs
-        # 330k).  Two quanta x one rung bounds the program set at 2 per
-        # (field config, ladder), warmed by the first view; the cost of
-        # rendering a K=64-need ray at K=128 is noise next to one compile.
-        # Groups are capped at 16384 rays: a 65536-ray program at K=128
-        # blows the remote compiler (observed HTTP 500 / 16G HBM OOM).
+        # 330k); even a two-quanta scheme re-compiled mid-loop whenever
+        # the warm-up views' counts straddled one quantum and a timed
+        # view's the other (76k vs 235k for the SAME config).  ONE fixed
+        # group shape per (field config, ladder) is deterministic: the
+        # first escalating view compiles it, every later view reuses it;
+        # the pad-repeat waste is < one group per view — noise next to
+        # one compile.  Groups are capped at 16384 rays: a 65536-ray
+        # program at K=128 blows the remote compiler (observed HTTP 500
+        # / 16G HBM OOM).
         gchunk = min(chunk, 16384)
-        small_q = min(gchunk, 4096)
         k_r = ladder[max(used_rungs)]
         idx_all = np.sort(np.concatenate([idx_by_rung[r] for r in used_rungs]))
         m = len(idx_all)
         for s0 in range(0, m, gchunk):
             sl = idx_all[s0 : s0 + gchunk]
             rem = len(sl)
-            quantum = small_q if rem <= small_q else gchunk
+            quantum = gchunk
             part_idx = sl
             if quantum - rem:
                 part_idx = np.concatenate(
