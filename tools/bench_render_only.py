@@ -28,6 +28,8 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=360)
     ap.add_argument("--hw", type=int, default=512)
+    ap.add_argument("--pool", type=int, default=5,
+                    help="eval-mask dilation (5: stride-2 occupancy; 3: tight)")
     ap.add_argument("--json", default="")
     args = ap.parse_args(argv)
 
@@ -51,7 +53,8 @@ def main(argv=None):
     aabb = jnp.asarray(aabb)
     n_samples = int(tf.default_n_samples(
         tf.grid_resolution(mcfg, params), mcfg.step_ratio))
-    mask, _ = tf.update_alpha_mask(mcfg, params, aabb, (200,) * 3, pool=3)
+    mask, _ = tf.update_alpha_mask(mcfg, params, aabb, (200,) * 3,
+                                   pool=args.pool)
 
     h = w = args.hw
     fx, fy, cx, cy = R.default_intrinsics(h, w)
@@ -87,7 +90,7 @@ def main(argv=None):
     dt = time.time() - t0
     report = {
         "ckpt": src,
-        "frames": n, "hw": args.hw,
+        "frames": n, "hw": args.hw, "mask_pool": args.pool,
         "wall_s": round(dt, 1),
         "frames_per_min": round(n * 60.0 / dt, 1),
         "rays_per_s": round(n * h * w / dt, 1),
